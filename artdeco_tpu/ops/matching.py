@@ -1,0 +1,328 @@
+"""Pointmap matching cascade: iterative ray projection + descriptor refinement.
+
+TPU-native re-implementation of the reference's matching stack:
+
+* ``img_gradient`` / ``prep_for_iter_proj``: ``VSLAM/utils_matching.py:53-133``
+* ``iter_proj``: CUDA kernel ``VSLAM/backend/src/matching_kernels.cu:119-275``
+  (per-pixel 2-DoF Levenberg-Marquardt with bilinear ray interpolation).
+* ``refine_matches``: CUDA kernel ``matching_kernels.cu:26-81`` (coarse-to-fine
+  dilated window argmax over descriptor dot products).
+* ``match_iterative_proj`` / ``match_pi3``: ``utils_matching.py:7-49,136-190``.
+
+Design note (TPU): the CUDA kernels are one-thread-per-pixel scalar loops with
+data-dependent gathers.  The TPU-native mapping is full vectorization over all
+H*W pixels with XLA dynamic gathers (``jnp.take``) inside a ``lax.fori_loop``
+over the (small, static) LM iteration count — the MXU is not involved and the
+VPU processes all pixels per step, so there is no serial pixel loop at all.
+All reference clamping/acceptance quirks are preserved bit-for-bit in f32
+(they directly affect ATE — SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# smallest positive normal float32 — replicates the CUDA init of
+# max_score = numeric_limits::min() (a *positive* tiny value, NOT lowest);
+# scores must exceed this for a refinement move to be accepted.
+_FLT_MIN = jnp.float32(1.17549435e-38)
+
+
+# ---------------------------------------------------------------------------
+# Gradient + prep (pure XLA)
+# ---------------------------------------------------------------------------
+
+def img_gradient(img: jax.Array):
+    """Scharr-like x/y gradients with reflect padding (utils_matching.py:53-86).
+
+    img: (c, h, w) or (b, c, h, w). Kernel = 1/32 * [[-3,0,3],[-10,0,10],[-3,0,3]].
+    Returns (gx, gy) with same shape as img.
+    """
+    squeeze = img.ndim == 3
+    if squeeze:
+        img = img[None]
+    b, c, h, w = img.shape
+    p = jnp.pad(img, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
+
+    def sh(dy, dx):
+        return p[:, :, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+
+    gx = (
+        3.0 * (sh(-1, 1) - sh(-1, -1))
+        + 10.0 * (sh(0, 1) - sh(0, -1))
+        + 3.0 * (sh(1, 1) - sh(1, -1))
+    ) / 32.0
+    gy = (
+        3.0 * (sh(1, -1) - sh(-1, -1))
+        + 10.0 * (sh(1, 0) - sh(-1, 0))
+        + 3.0 * (sh(1, 1) - sh(-1, 1))
+    ) / 32.0
+    if squeeze:
+        gx, gy = gx[0], gy[0]
+    return gx, gy
+
+
+def lin_to_pixel(idx: jax.Array, w: int) -> jax.Array:
+    u = idx % w
+    v = idx // w
+    return jnp.stack([u, v], axis=-1)
+
+
+def pixel_to_lin(p: jax.Array, w: int) -> jax.Array:
+    return p[..., 0] + w * p[..., 1]
+
+
+def prep_for_iter_proj(X11: jax.Array, X21: jax.Array, idx_1_to_2_init):
+    """Build the 9-channel ray+gradient image, normalized target points and
+    initial projections (utils_matching.py:109-133).
+
+    X11, X21: (b, h, w, 3) pointmaps. Returns
+    rays_with_grad (b,h,w,9), pts3d_norm (b,h*w,3), p_init (b,h*w,2) float.
+    """
+    b, h, w, _ = X11.shape
+    rays = X11 / jnp.linalg.norm(X11, axis=-1, keepdims=True)
+    rays_chw = jnp.moveaxis(rays, -1, 1)  # (b,3,h,w)
+    gx, gy = img_gradient(rays_chw)
+    rays_with_grad = jnp.concatenate(
+        [rays_chw, gx, gy], axis=1
+    )  # (b,9,h,w)
+    rays_with_grad = jnp.moveaxis(rays_with_grad, 1, -1)  # (b,h,w,9)
+
+    X21_vec = X21.reshape(b, h * w, 3)
+    pts3d_norm = X21_vec / jnp.linalg.norm(X21_vec, axis=-1, keepdims=True)
+
+    if idx_1_to_2_init is None:
+        idx_1_to_2_init = jnp.broadcast_to(jnp.arange(h * w), (b, h * w))
+    p_init = lin_to_pixel(idx_1_to_2_init, w).astype(jnp.float32)
+    return rays_with_grad, pts3d_norm, p_init
+
+
+# ---------------------------------------------------------------------------
+# iter_proj — vectorized per-pixel 2-DoF LM (matching_kernels.cu:119-275)
+# ---------------------------------------------------------------------------
+
+def _bilinear_gather(img_flat: jax.Array, u: jax.Array, v: jax.Array, h: int, w: int):
+    """Bilinear sample of a (h*w, c) flattened image at float coords.
+
+    Uses the reference's corner/weight pairing (matching_kernels.cu:155-183):
+    weights computed from (du, dv) pair with pixels at the OPPOSITE corner.
+    Assumes u in [1, w-2], v in [1, h-2] so all four taps are in-bounds.
+    """
+    u11 = jnp.floor(u)
+    v11 = jnp.floor(v)
+    du = u - u11
+    dv = v - v11
+    iu = u11.astype(jnp.int32)
+    iv = v11.astype(jnp.int32)
+
+    w11 = (du * dv)[:, None]          # pairs with (v+1, u+1)
+    w12 = ((1.0 - du) * dv)[:, None]  # pairs with (v+1, u)
+    w21 = (du * (1.0 - dv))[:, None]  # pairs with (v, u+1)
+    w22 = ((1.0 - du) * (1.0 - dv))[:, None]  # pairs with (v, u)
+
+    base = iv * w + iu
+    r22 = jnp.take(img_flat, base, axis=0)
+    r21 = jnp.take(img_flat, base + 1, axis=0)
+    r12 = jnp.take(img_flat, base + w, axis=0)
+    r11 = jnp.take(img_flat, base + w + 1, axis=0)
+    return w11 * r11 + w12 * r12 + w21 * r21 + w22 * r22
+
+
+def _iter_proj_single(
+    rays_img: jax.Array,  # (h, w, 9)
+    pts3d_norm: jax.Array,  # (n, 3)
+    p_init: jax.Array,  # (n, 2) float
+    max_iter: int,
+    lambda_init: float,
+    cost_thresh: float,
+):
+    h, w, _ = rays_img.shape
+    img_flat = rays_img.reshape(h * w, 9)
+
+    u0 = jnp.clip(p_init[:, 0], 1.0, w - 2.0)
+    v0 = jnp.clip(p_init[:, 1], 1.0, h - 2.0)
+    lam0 = jnp.full_like(u0, lambda_init)
+    conv0 = jnp.zeros(u0.shape, dtype=bool)
+
+    def ray_cost(u, v):
+        r = _bilinear_gather(img_flat[:, :3], u, v, h, w)
+        r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+        err = r - pts3d_norm
+        return jnp.sum(err * err, axis=-1), err
+
+    def body(_, carry):
+        u, v, lam, conv = carry
+        smp = _bilinear_gather(img_flat, u, v, h, w)  # (n, 9)
+        r, gx, gy = smp[:, 0:3], smp[:, 3:6], smp[:, 6:9]
+        r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
+        err = r - pts3d_norm
+        cost = jnp.sum(err * err, axis=-1)
+
+        A00 = jnp.sum(gx * gx, axis=-1) + lam
+        A01 = jnp.sum(gx * gy, axis=-1)
+        A11 = jnp.sum(gy * gy, axis=-1) + lam
+        b0 = -jnp.sum(err * gx, axis=-1)
+        b1 = -jnp.sum(err * gy, axis=-1)
+
+        det_inv = 1.0 / (A00 * A11 - A01 * A01)
+        du = det_inv * (A11 * b0 - A01 * b1)
+        dv = det_inv * (-A01 * b0 + A00 * b1)
+
+        u_new = jnp.clip(u + du, 1.0, w - 2.0)
+        v_new = jnp.clip(v + dv, 1.0, h - 2.0)
+        new_cost, _ = ray_cost(u_new, v_new)
+
+        accept = new_cost < cost
+        u = jnp.where(accept, u_new, u)
+        v = jnp.where(accept, v_new, v)
+        lam = jnp.where(accept, lam * 0.1, lam * 10.0)
+        conv = jnp.where(accept, new_cost < cost_thresh, cost < cost_thresh)
+        return u, v, lam, conv
+
+    u, v, lam, conv = jax.lax.fori_loop(0, max_iter, body, (u0, v0, lam0, conv0))
+    return jnp.stack([u, v], axis=-1), conv
+
+
+@partial(jax.jit, static_argnames=("max_iter",))
+def iter_proj(
+    rays_with_grad_img: jax.Array,  # (b, h, w, 9)
+    pts3d_norm: jax.Array,  # (b, n, 3)
+    p_init: jax.Array,  # (b, n, 2)
+    max_iter: int = 10,
+    lambda_init: float = 1e-8,
+    cost_thresh: float = 1e-8,
+):
+    """Project unit rays of frame 2 onto frame 1's ray image via per-pixel LM.
+
+    Returns (p_new float (b,n,2), converged bool (b,n)).
+    """
+    fn = partial(
+        _iter_proj_single,
+        max_iter=max_iter,
+        lambda_init=lambda_init,
+        cost_thresh=cost_thresh,
+    )
+    return jax.vmap(fn)(rays_with_grad_img, pts3d_norm, p_init)
+
+
+# ---------------------------------------------------------------------------
+# refine_matches — dilated descriptor argmax (matching_kernels.cu:26-81)
+# ---------------------------------------------------------------------------
+
+def _refine_single(
+    D11: jax.Array,  # (h, w, f)
+    D21: jax.Array,  # (n, f)
+    p1: jax.Array,  # (n, 2) int
+    radius: int,
+    dilation_max: int,
+):
+    h, w, f = D11.shape
+    D11_flat = D11.reshape(h * w, f)
+    u0 = p1[:, 0].astype(jnp.int32)
+    v0 = p1[:, 1].astype(jnp.int32)
+
+    # max_score persists ACROSS dilation levels (declared outside the d-loop
+    # in the CUDA kernel) and is initialized to +FLT_MIN, so non-positive
+    # scores never displace the initial match.
+    max_score = jnp.full(u0.shape, _FLT_MIN, dtype=jnp.float32)
+    u_new, v_new = u0, v0
+
+    span = 2 * radius + 1
+    for d in range(dilation_max, 0, -1):
+        rd = radius * d
+        # iteration order i (u) outer, j (v) inner; strict > keeps first max
+        for i in range(span):
+            for j in range(span):
+                u = u0 - rd + i * d
+                v = v0 - rd + j * d
+                inside = (u >= 0) & (u < w) & (v >= 0) & (v < h)
+                idx = jnp.clip(v, 0, h - 1) * w + jnp.clip(u, 0, w - 1)
+                feats = jnp.take(D11_flat, idx, axis=0)
+                score = jnp.sum(D21 * feats, axis=-1).astype(jnp.float32)
+                upd = inside & (score > max_score)
+                max_score = jnp.where(upd, score, max_score)
+                u_new = jnp.where(upd, u, u_new)
+                v_new = jnp.where(upd, v, v_new)
+        u0, v0 = u_new, v_new
+
+    return jnp.stack([u_new, v_new], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+def refine_matches(
+    D11: jax.Array,  # (b, h, w, f) descriptors of frame 1
+    D21: jax.Array,  # (b, n, f) descriptors of frame 2 (flattened)
+    p1: jax.Array,  # (b, n, 2) int matches into frame 1
+    radius: int = 3,
+    dilation_max: int = 1,
+):
+    """Coarse-to-fine local descriptor search around current matches."""
+    fn = partial(_refine_single, radius=radius, dilation_max=dilation_max)
+    return jax.vmap(fn)(D11, D21, p1)
+
+
+# ---------------------------------------------------------------------------
+# Full cascades (utils_matching.py:7-49, 89-190)
+# ---------------------------------------------------------------------------
+
+def match_iterative_proj(
+    cfg: dict,
+    X11: jax.Array,  # (b, h, w, 3)
+    X21: jax.Array,  # (b, h, w, 3)
+    D11: jax.Array | None,  # (b, h, w, f)
+    D21: jax.Array | None,  # (b, h, w, f)
+    idx_1_to_2_init: jax.Array | None = None,
+):
+    """iter_proj -> occlusion distance filter -> refine_matches.
+
+    cfg: the ``matching`` config block (max_iter, lambda_init,
+    convergence_thresh, dist_thresh, radius, dilation_max).
+    Returns (idx_1_to_2 (b,n) int32, valid (b,n,1) bool).
+    """
+    b, h, w = X21.shape[:3]
+    rays_with_grad, pts3d_norm, p_init = prep_for_iter_proj(
+        X11, X21, idx_1_to_2_init
+    )
+    p1, valid_proj2 = iter_proj(
+        rays_with_grad,
+        pts3d_norm,
+        p_init,
+        max_iter=int(cfg["max_iter"]),
+        lambda_init=float(cfg["lambda_init"]),
+        cost_thresh=float(cfg["convergence_thresh"]),
+    )
+    p1 = p1.astype(jnp.int32)  # truncation == floor for non-negative coords
+
+    # Occlusion distance filter (utils_matching.py:161-168)
+    X11_flat = X11.reshape(b, h * w, 3)
+    lin = pixel_to_lin(p1, w)
+    matched = jnp.take_along_axis(X11_flat, lin[..., None], axis=1)
+    dists2 = jnp.linalg.norm(matched - X21.reshape(b, h * w, 3), axis=-1)
+    valid = valid_proj2 & (dists2 < float(cfg["dist_thresh"]))
+
+    if D11 is not None and int(cfg["radius"]) > 0:
+        D21_flat = D21.reshape(b, h * w, -1)
+        p1 = refine_matches(
+            D11,
+            D21_flat,
+            p1,
+            radius=int(cfg["radius"]),
+            dilation_max=int(cfg["dilation_max"]),
+        )
+
+    idx_1_to_2 = pixel_to_lin(p1, w)
+    return idx_1_to_2, valid[..., None]
+
+
+def match(cfg, X11, X21, D11, D21, idx_1_to_2_init=None):
+    return match_iterative_proj(cfg, X11, X21, D11, D21, idx_1_to_2_init)
+
+
+def match_pi3(cfg, X11, X21, idx_1_to_2_init=None):
+    """Descriptor-free variant used by the Pi3 loop-closure path
+    (utils_matching.py:7-49). Returns (idx (b,n), valid (b,n))."""
+    idx, valid = match_iterative_proj(cfg, X11, X21, None, None, idx_1_to_2_init)
+    return idx, valid[..., 0]
