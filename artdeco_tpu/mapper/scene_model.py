@@ -1,0 +1,779 @@
+"""LOD Gaussian scene model — the online mapper.
+
+Reference: ``Reconstruct/scene/scene_models/h3dgsv3.py:64-1251`` (SceneModel):
+dmax-based LOD selection + alpha fade, per-voxel global features with an
+mlp_cov scale/rotation modulation MLP, randomized-keyframe replay training,
+LoG multi-resolution densification over lods [1,2,4,8], voxel-hash cluster
+ids, visibility weeding, loop-closure rigid transforms, PSNR/SSIM eval.
+
+TPU architecture: a functional core of jitted steps over static-capacity
+slabs (gaussians, keyframe params, cluster table) orchestrated by a thin
+host class that holds numpy image pyramids and streams one keyframe's
+tensors per optimization step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artdeco_tpu.mapper import clustering, gaussians as G, keyframe as KF, losses
+from artdeco_tpu.mapper.config import MapperConfig
+from artdeco_tpu.ops import adam
+from artdeco_tpu.ops.splat import api as splat_api
+from artdeco_tpu.ops.splat import sh as sh_lib
+from artdeco_tpu.ops.ssim import fused_ssim
+
+LODS = (1, 2, 4, 8)
+
+
+# ---------------------------------------------------------------------------
+# mlp_cov: 2-layer MLP modulating scale/rotation from cluster+local features
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MlpCov:
+    w1: jax.Array
+    b1: jax.Array
+    w2: jax.Array
+    b2: jax.Array
+
+
+def create_mlp_cov(key, feat_dim: int) -> MlpCov:
+    # torch nn.Linear init: weights AND biases ~ U(-1/sqrt(fan_in), +);
+    # nonzero biases matter — zero-feature (inactive) rows must not produce
+    # an exactly-zero rotation modulation (NaN on normalize)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    s1 = 1.0 / math.sqrt(feat_dim)
+    return MlpCov(
+        w1=jax.random.uniform(k1, (feat_dim, feat_dim), minval=-s1, maxval=s1),
+        b1=jax.random.uniform(k3, (feat_dim,), minval=-s1, maxval=s1),
+        w2=jax.random.uniform(k2, (feat_dim, 7), minval=-s1, maxval=s1),
+        b2=jax.random.uniform(k4, (7,), minval=-s1, maxval=s1),
+    )
+
+
+def mlp_cov_apply(m: MlpCov, x: jax.Array) -> jax.Array:
+    h = jax.nn.relu(x @ m.w1 + m.b1)
+    return h @ m.w2 + m.b2
+
+
+# ---------------------------------------------------------------------------
+# Global (per-cluster) feature slab
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GlobalFeats:
+    val: jax.Array           # (Cg, Dg)
+    lr: jax.Array            # (Cg,)
+    opt: adam.AdamState
+
+
+def create_global_feats(capacity: int, dim: int, lr_init: float) -> GlobalFeats:
+    v = jnp.zeros((capacity, dim))
+    return GlobalFeats(
+        val=v, lr=jnp.full((capacity,), lr_init), opt=adam.init_state(v)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Render core
+# ---------------------------------------------------------------------------
+
+def render_core(
+    slab: G.GaussianSlab,
+    gfeat: jax.Array,        # (Cg, Dg)
+    mlp: MlpCov,
+    viewmat: jax.Array,      # (4, 4) world->cam (differentiable)
+    exposure: jax.Array,     # (3, 4)
+    K: jax.Array,            # (3, 3) at render resolution
+    width: int,
+    height: int,
+    bg: jax.Array,           # (3,)
+    sh_degree: int,
+    eps2d: float,
+    cluster_capacity: int,
+):
+    """Reference h3dgsv3.render (:617-700) + render_from_id exposure.
+
+    Returns dict with render (3,H,W) clamped, invdepth (1,H,W), alpha,
+    visibility (C,), global_visibility (Cg,), scale_eff (C,3).
+    """
+    # dmax LOD culling + alpha fade
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    cam_centre = -R.T @ t
+    delta = slab.xyz - cam_centre
+    # sqrt(x) has an infinite derivative at 0 — guard for slots at the centre
+    ob_dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1, keepdims=True) + 1e-12)
+    selection = (ob_dist < 2.0 * slab.d_max)[:, 0] & slab.active
+    fade = (ob_dist > slab.d_max) & (ob_dist < 2.0 * slab.d_max)
+    alpha_ratio = jnp.where(
+        fade, (2.0 * slab.d_max - ob_dist) / slab.d_max, 1.0
+    )
+    opac = (jax.nn.sigmoid(slab.opacity) * alpha_ratio)[:, 0]
+
+    # mlp_cov modulation
+    feats_in = jnp.concatenate(
+        [gfeat[jnp.clip(slab.cls_id, 0, cluster_capacity - 1)], slab.local_feat],
+        axis=-1,
+    )
+    scale_rot = mlp_cov_apply(mlp, feats_in)
+    scale_eff = jnp.exp(slab.scaling) * jax.nn.sigmoid(scale_rot[:, :3])
+    rot_mod = slab.rotation * scale_rot[:, 3:7]
+    rot_eff = rot_mod * jax.lax.rsqrt(
+        jnp.sum(rot_mod * rot_mod, axis=-1, keepdims=True) + 1e-20
+    )
+
+    colors = jnp.concatenate([slab.f_dc, slab.f_rest], axis=1)  # (C, K, 3)
+    render, alpha, meta = splat_api.rasterization(
+        slab.xyz, rot_eff, scale_eff, opac, colors, viewmat, K,
+        width, height, sh_degree=sh_degree, render_mode="RGB+D",
+        eps2d=eps2d, valid_mask=selection,
+    )
+    rgb = jnp.moveaxis(render[..., :3], -1, 0)          # (3, H, W)
+    depth = jnp.moveaxis(render[..., 3:4], -1, 0)       # (1, H, W)
+    a = jnp.moveaxis(alpha, -1, 0)                      # (1, H, W)
+    rgb = rgb + (1.0 - a) * bg[:, None, None]
+    # NOTE: the reference divides by the raw accumulated depth (h3dgsv3.py:
+    # 689), which is 0 at uncovered pixels -> inf loss and ~1e16 gradients
+    # that overflow f32 Adam moments.  Clamping at 1e-2 zeroes the gradient
+    # for uncovered pixels (the clamp's flat side), acting as a soft mask.
+    invdepth = 1.0 / jnp.maximum(depth, 1e-2)
+
+    # exposure (render_from_id :611-614)
+    h, w = rgb.shape[1:]
+    rgb = (exposure[:3, :3] @ rgb.reshape(3, -1) + exposure[:3, 3:4]).reshape(3, h, w)
+    rgb = jnp.clip(rgb, 0.0, 1.0)
+
+    visibility = (jnp.max(meta.radii, axis=-1) > 0) & selection
+    global_vis = (
+        jax.ops.segment_max(
+            visibility.astype(jnp.int32),
+            jnp.clip(slab.cls_id, 0, cluster_capacity - 1),
+            num_segments=cluster_capacity,
+        )
+        > 0
+    )
+    return dict(
+        render=rgb, invdepth=invdepth, alpha=a, visibility=visibility,
+        global_visibility=global_vis, scale=scale_eff, depth=depth,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Optimization step (jitted once per (capacity, lvl))
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "lvl", "is_important", "cfg",
+                     "is_test"),
+)
+def optimization_step_core(
+    slab: G.GaussianSlab,
+    opt: G.SlabOptState,
+    gfeat: GlobalFeats,
+    mlp: MlpCov,
+    mlp_opt,
+    mlp_lr: jax.Array,
+    pool: KF.KeyframePool,
+    kf_idx: jax.Array,
+    gt_image: jax.Array,     # (3, h, w) at lvl
+    mono_idepth: jax.Array,  # (1, h, w) at lvl
+    K_lvl: jax.Array,
+    bg: jax.Array,
+    width: int,
+    height: int,
+    lvl: int,
+    is_important: bool,
+    is_test: bool,
+    cfg: MapperConfig,
+):
+    """One mapper training iteration (h3dgsv3.optimization_step :401-470)."""
+
+    def loss_fn(trained, r_kf, t_kf, e_kf):
+        slab_t = dataclasses.replace(slab, **trained["slab"])
+        Rm = KF.sixd_to_mtx(r_kf)
+        viewmat = jnp.concatenate(
+            [jnp.concatenate([Rm, t_kf[:, None]], axis=1),
+             jnp.asarray([[0.0, 0, 0, 1]])], axis=0
+        )
+        pkg = render_core(
+            slab_t, trained["gfeat"], trained["mlp"], viewmat, e_kf,
+            K_lvl, width, height, bg, cfg.sh_degree, cfg.low_pass_filter_eps,
+            cfg.cluster_capacity,
+        )
+        image = pkg["render"]
+        invdepth = pkg["invdepth"]
+        rdk = losses.radial_decay_kernel(height, width, cfg.rad_decay)[None]
+        gt = gt_image
+        mono = mono_idepth
+        if not is_important:
+            # common frames: mask pixels with large errors (:432-439)
+            err = rdk * jnp.abs(image - gt)
+            bad = (err[0] > 0.2) | (err[1] > 0.2) | (err[2] > 0.2)
+            m = (~bad)[None].astype(image.dtype)
+            image = image * m
+            gt = gt * m
+            invdepth = invdepth * m
+            mono = mono * m
+        l1 = jnp.mean(rdk * jnp.abs(image - gt))
+        ssim_l = 1.0 - fused_ssim(image, gt)
+        depth_l = jnp.mean(rdk * jnp.abs(invdepth - mono))
+        scaling_reg = jnp.mean(jnp.prod(pkg["scale"], axis=1))
+        dlw = pool.depth_loss_weight[kf_idx]
+        loss = (
+            cfg.lambda_dssim * ssim_l
+            + (1.0 - cfg.lambda_dssim) * l1
+            + dlw * depth_l
+            + cfg.scaling_reg_factor * scaling_reg
+        )
+        aux = dict(
+            loss=loss, l1=l1, ssim=ssim_l, depth=depth_l,
+            visibility=pkg["visibility"], global_visibility=pkg["global_visibility"],
+        )
+        return loss, aux
+
+    trained0 = dict(
+        slab={k: getattr(slab, k) for k in G.TRAINED_KEYS},
+        gfeat=gfeat.val,
+        mlp=mlp,
+    )
+    r0 = pool.r_w2c[kf_idx]
+    t0 = pool.t_w2c[kf_idx]
+    e0 = pool.exposure[kf_idx]
+    grads, aux = jax.grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+        trained0, r0, t0, e0
+    )
+    g_trained, g_r, g_t, g_e = grads
+    vis = aux["visibility"]
+    gvis = aux["global_visibility"]
+
+    # ---- keyframe pose/exposure Adam (BaseAdam betas 0.8/0.99) ----------
+    lr_pose = pool.lr_pose[kf_idx]
+    lr_expo = jnp.where(is_test, 0.0, pool.lr_exposure[kf_idx])
+    r_new, st_r = adam.adam_update_basic(
+        r0, g_r, adam.AdamState(pool.opt_r.exp_avg[kf_idx],
+                                pool.opt_r.exp_avg_sq[kf_idx]),
+        lr_pose, b1=0.8, b2=0.99,
+    )
+    t_new, st_t = adam.adam_update_basic(
+        t0, g_t, adam.AdamState(pool.opt_t.exp_avg[kf_idx],
+                                pool.opt_t.exp_avg_sq[kf_idx]),
+        lr_pose, b1=0.8, b2=0.99,
+    )
+    e_new, st_e = adam.adam_update_basic(
+        e0, g_e, adam.AdamState(pool.opt_e.exp_avg[kf_idx],
+                                pool.opt_e.exp_avg_sq[kf_idx]),
+        lr_expo, b1=0.8, b2=0.99,
+    )
+    pool = dataclasses.replace(
+        pool,
+        r_w2c=pool.r_w2c.at[kf_idx].set(r_new),
+        t_w2c=pool.t_w2c.at[kf_idx].set(t_new),
+        exposure=pool.exposure.at[kf_idx].set(e_new),
+        depth_loss_weight=pool.depth_loss_weight.at[kf_idx].multiply(
+            cfg.depth_loss_weight_decay
+        ),
+        opt_r=adam.AdamState(
+            pool.opt_r.exp_avg.at[kf_idx].set(st_r.exp_avg),
+            pool.opt_r.exp_avg_sq.at[kf_idx].set(st_r.exp_avg_sq),
+        ),
+        opt_t=adam.AdamState(
+            pool.opt_t.exp_avg.at[kf_idx].set(st_t.exp_avg),
+            pool.opt_t.exp_avg_sq.at[kf_idx].set(st_t.exp_avg_sq),
+        ),
+        opt_e=adam.AdamState(
+            pool.opt_e.exp_avg.at[kf_idx].set(st_e.exp_avg),
+            pool.opt_e.exp_avg_sq.at[kf_idx].set(st_e.exp_avg_sq),
+        ),
+    )
+
+    if not is_test:
+        # ---- scene Adam (visibility-masked) ----------------------------
+        lrs = dict(
+            f_dc=cfg.feature_lr, f_rest=cfg.feature_lr / 20.0,
+            scaling=cfg.scaling_lr, rotation=cfg.rotation_lr,
+            opacity=cfg.opacity_lr, local_feat=cfg.feat_lr, xyz=None,
+        )
+        slab, opt = G.apply_adam(
+            slab, opt, g_trained["slab"], vis, lrs,
+            cfg.adam_b1, cfg.adam_b2, cfg.adam_eps,
+        )
+        slab = G.decay_xyz_lr(
+            slab, vis, cfg.position_lr_decay, cfg.position_lr_init * 0.1
+        )
+        # global feats: masked by cluster visibility, per-row lr + decay
+        gv, g_opt = adam.adam_update_masked(
+            gfeat.val, g_trained["gfeat"], gfeat.opt, gfeat.lr, gvis,
+            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+        )
+        # global_feat has no lr_dict entry by default -> no decay (:106-133)
+        gfeat = GlobalFeats(val=gv, lr=gfeat.lr, opt=g_opt)
+        # mlp_cov: dense Adam + lr decay
+        new_mlp = {}
+        new_mlp_opt = {}
+        for name in ("w1", "b1", "w2", "b2"):
+            p, st = adam.adam_update_basic(
+                getattr(mlp, name), getattr(g_trained["mlp"], name),
+                mlp_opt[name], mlp_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+                eps=cfg.adam_eps,
+            )
+            new_mlp[name] = p
+            new_mlp_opt[name] = st
+        mlp = MlpCov(**new_mlp)
+        mlp_opt = new_mlp_opt
+        mlp_lr = jnp.maximum(
+            mlp_lr * cfg.mlp_cov_lr_decay, cfg.mlp_cov_lr_init * 0.1
+        )
+
+    metrics = dict(loss=aux["loss"], l1=aux["l1"], ssim=aux["ssim"],
+                   depth=aux["depth"])
+    return slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, metrics
+
+
+# ---------------------------------------------------------------------------
+# Densification core (per lod, jitted per static shapes)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("lod", "width", "height", "budget", "cfg"))
+def densify_candidates_core(
+    image: jax.Array,        # (3, H/2-pooled base) actually map-res image
+    render_rgb: jax.Array,   # (3, H, W) current render (0 if empty scene)
+    render_depth: jax.Array,  # (1, H, W)
+    has_scene: jax.Array,    # () bool
+    point_map_z: jax.Array,  # (1, Hs, Ws) SLAM depth
+    point_conf: jax.Array,   # (1, Hs, Ws)
+    R_w2c: jax.Array,        # (3, 3)
+    t_w2c: jax.Array,        # (3,)
+    f: float,
+    rng: jax.Array,
+    lod: int,
+    width: int,
+    height: int,
+    budget: int,
+    cfg: MapperConfig,
+):
+    """Candidate gaussians for one LOD (h3dgsv3.add_new_gaussians :765-940).
+
+    Returns dict of (budget, ...) candidate fields + valid mask.
+    """
+    cur_h, cur_w = height // lod, width // lod
+    # org_img = avg_pool2(image) then resized to lod resolution (:775-781)
+    org = losses.avg_pool2(image)
+    img = losses.resize_bilinear(org, cur_h, cur_w)
+    disc = losses.disc_kernel(3)
+    init_proba = losses.lapla_norm(img, disc)
+
+    render_l = losses.resize_bilinear(render_rgb, cur_h, cur_w)
+    penalty = jnp.where(has_scene, losses.lapla_norm(render_l, disc), 0.0)
+
+    init_proba = init_proba * cfg.init_proba_scaler
+    penalty = penalty * cfg.init_proba_scaler
+
+    k1, k2 = jax.random.split(rng)
+    u = jax.random.uniform(k1, (cur_h, cur_w))
+    sample_mask = u < (init_proba - penalty) * cfg.gs_add_ratio
+
+    # fixed-budget selection: sampled pixels first (random priority)
+    pri = jax.random.uniform(k2, (cur_h * cur_w,)) + sample_mask.reshape(-1)
+    _, top_idx = jax.lax.top_k(pri, budget)
+    chosen = sample_mask.reshape(-1)[top_idx]
+    uu = (top_idx % cur_w).astype(jnp.float32)
+    vv = (top_idx // cur_w).astype(jnp.float32)
+    uv = jnp.stack([uu, vv], axis=-1)  # (B, 2) in lod pixels
+
+    # sample SLAM depth + conf at lod-scaled uv (grid_sample semantics map
+    # uv in [0, cur_w-1] onto the SLAM-res maps via align_corners scaling)
+    hs, ws = point_map_z.shape[1:]
+    uv_s = jnp.stack(
+        [uv[:, 0] * (ws - 1) / jnp.maximum(cur_w - 1, 1),
+         uv[:, 1] * (hs - 1) / jnp.maximum(cur_h - 1, 1)], axis=-1
+    )
+    depths = losses.grid_sample_bilinear(point_map_z, uv_s)[0]
+    confs = losses.grid_sample_bilinear(point_conf, uv_s)[0]
+
+    qmin = jnp.minimum(1e-2, jnp.quantile(point_map_z.reshape(-1), 0.02))
+    valid = chosen & (confs >= 0) & (depths > qmin)
+
+    # back-project into world (:849-850: X_w = (X_c - t) @ R == R^T-style)
+    f_l = f / lod
+    centre = jnp.asarray([(width - 1) / 2.0, (height - 1) / 2.0]) / lod
+    x = (uv[:, 0] - centre[0]) / f_l * depths
+    y = (uv[:, 1] - centre[1]) / f_l * depths
+    pts_cam = jnp.stack([x, y, depths], axis=-1)
+    # world = R^T (p_cam - t) == (p_cam - t) @ R  (reference :849-850)
+    pts_w = (pts_cam - t_w2c) @ R_w2c
+
+    # colors at sampled pixels
+    img_flat = img.reshape(3, -1)
+    rgb = img_flat[:, top_idx].T  # (B, 3)
+    f_dc = sh_lib.rgb_to_sh(rgb)[:, None, :]  # (B, 1, 3)
+
+    # scales from saliency (eq. 4)
+    p_sel = init_proba.reshape(-1)[top_idx]
+    scales = 1.0 / jnp.sqrt(jnp.maximum(p_sel, 1e-12))
+    scales = jnp.clip(scales, 1.0, width / 10.0) / f
+    centre_w = -t_w2c @ R_w2c  # camera centre in world
+    dist = jnp.linalg.norm(pts_w - centre_w, axis=-1)
+    scales = scales * dist
+    scaling = jnp.log(jnp.clip(lod * scales, 1e-6, 1e6))[:, None].repeat(3, 1)
+
+    opac = jnp.clip(0.2 * confs, 1e-4, 1.0 - 1e-4)
+    opacity = jnp.log(opac / (1.0 - opac))[:, None]  # inverse sigmoid
+
+    d_max = (depths * lod)[:, None]
+
+    return dict(
+        xyz=pts_w,
+        f_dc=f_dc,
+        scaling=scaling,
+        opacity=opacity,
+        d_max=d_max,
+        valid=valid,
+    )
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def weed_core(slab: G.GaussianSlab, cam_centres: jax.Array,
+              used: jax.Array, visible_threshold: float, chunk: int = 64):
+    """Visibility-fraction weeding (h3dgsv3.weed_out_gaussians :942-953)."""
+    n_kf = jnp.maximum(jnp.sum(used), 1)
+    kf_count = cam_centres.shape[0]
+
+    def body(carry, i):
+        count = carry
+        c = jax.lax.dynamic_slice(cam_centres, (i * chunk, 0), (chunk, 3))
+        u = jax.lax.dynamic_slice(used, (i * chunk,), (chunk,))
+        d = jnp.linalg.norm(
+            slab.xyz[:, None, :] - c[None, :, :], axis=-1
+        )  # (C, chunk)
+        vis = (d < 2.0 * slab.d_max) & u[None, :]
+        return count + jnp.sum(vis, axis=1), None
+
+    count0 = jnp.zeros((slab.capacity,), jnp.int32)
+    steps = kf_count // chunk
+    count, _ = jax.lax.scan(body, count0, jnp.arange(steps))
+    frac = count / n_kf
+    keep = frac > visible_threshold
+    return G.prune(slab, keep)
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+class SceneModel:
+    """Host-side scene model driving the jitted cores.
+
+    Mirrors the reference SceneModel surface (add_keyframe, add_new_gaussians,
+    optimization_loop, rigid_transform_gs, evaluate, render_from_id).
+    """
+
+    def __init__(self, width: int, height: int, K, cfg: MapperConfig = MapperConfig(),
+                 inference_mode: bool = False, seed: int = 0):
+        self.width = width
+        self.height = height
+        self.K = jnp.asarray(K, jnp.float32)
+        self.f = float(K[0][0] if isinstance(K, (list, tuple)) else K[0, 0])
+        self.cfg = cfg
+        self.inference_mode = inference_mode
+
+        feat_dim = cfg.global_feat_dim + cfg.local_feat_dim
+        key = jax.random.PRNGKey(seed)
+        k_mlp, self._rng = jax.random.split(key)
+
+        self.slab = G.create_slab(
+            min(cfg.initial_capacity, cfg.capacity), cfg.sh_degree,
+            cfg.local_feat_dim, cfg.position_lr_init,
+        )
+        self.opt = G.create_opt_state(self.slab)
+        self.gfeat = create_global_feats(
+            cfg.cluster_capacity, cfg.global_feat_dim, cfg.feat_lr
+        )
+        self.mlp = create_mlp_cov(k_mlp, feat_dim)
+        self.mlp_opt = {
+            n: adam.init_state(getattr(self.mlp, n)) for n in ("w1", "b1", "w2", "b2")
+        }
+        self.mlp_lr = jnp.asarray(cfg.mlp_cov_lr_init)
+        self.pool = KF.create_pool(cfg.keyframe_capacity)
+        self.cluster_state = clustering.create_cluster_state(cfg.voxel_table_size)
+
+        self.keyframes: list[KF.KeyframeHostData] = []
+        self.last_trained_id = -1
+        self.metrics_history: list[dict] = []
+        self._np_rng = np.random.RandomState(seed)
+        self._dev_cache: dict = {}       # (kf_idx, lvl) -> (gt, mono) on device
+        self._has_gaussians = False      # host-tracked, avoids per-step sync
+
+    # -- properties ------------------------------------------------------
+    @property
+    def n_active_gaussians(self) -> int:
+        return int(self.slab.num_active())
+
+    def _rand(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _K_at_lvl(self, lvl: int):
+        s = 1.0 / (2 ** lvl)
+        K = np.asarray(self.K).copy()
+        K[:2] *= s
+        return jnp.asarray(K)
+
+    # -- keyframes -------------------------------------------------------
+    def add_keyframe(self, kf: KF.KeyframeHostData, Rt_w2c: np.ndarray):
+        """Register keyframe params + host data (reference :981-1041)."""
+        idx = kf.index
+        prev_expo = (
+            self.pool.exposure[idx - 1] if idx > 0 else jnp.eye(3, 4)
+        )
+        lr_pose = 0.0 if idx == 0 else self.cfg.lr_poses
+        if kf.is_test:
+            lr_pose = 1e-4
+        self.pool = KF.set_keyframe(
+            self.pool, idx, jnp.asarray(Rt_w2c, jnp.float32), prev_expo,
+            lr_pose, self.cfg.lr_exposure, self.cfg.depth_loss_weight_init,
+            kf.is_test,
+        )
+        if idx == len(self.keyframes):
+            self.keyframes.append(kf)
+        else:
+            while len(self.keyframes) <= idx:
+                self.keyframes.append(None)
+            self.keyframes[idx] = kf
+
+    def set_keyframe_pose(self, idx: int, Rt_w2c: np.ndarray):
+        Rt = jnp.asarray(Rt_w2c, jnp.float32)
+        self.pool = dataclasses.replace(
+            self.pool,
+            r_w2c=self.pool.r_w2c.at[idx].set(Rt[:3, :2]),
+            t_w2c=self.pool.t_w2c.at[idx].set(Rt[:3, 3]),
+        )
+
+    # -- rendering -------------------------------------------------------
+    def render_from_id(self, keyframe_id: int, pyr_lvl: int = 0, bg=None):
+        if bg is None:
+            bg = jnp.zeros(3)
+        lvl_scale = 2 ** pyr_lvl
+        w, h = self.width // lvl_scale, self.height // lvl_scale
+        viewmat = KF.get_Rt(self.pool, keyframe_id)
+        expo = self.pool.exposure[keyframe_id]
+        return render_core(
+            self.slab, self.gfeat.val, self.mlp, viewmat, expo,
+            self._K_at_lvl(pyr_lvl), w, h, jnp.asarray(bg),
+            self.cfg.sh_degree, self.cfg.low_pass_filter_eps,
+            self.cfg.cluster_capacity,
+        )
+
+    # -- training --------------------------------------------------------
+    def get_training_id(self) -> int:
+        return int(self._np_rng.randint(0, len(self.keyframes)))
+
+    def _device_kf(self, keyframe_id: int, lvl: int):
+        key = (keyframe_id, lvl)
+        if key not in self._dev_cache:
+            kf = self.keyframes[keyframe_id]
+            self._dev_cache[key] = (
+                jnp.asarray(kf.image_pyr[lvl]),
+                jnp.asarray(kf.idepth_pyr[lvl]),
+            )
+        return self._dev_cache[key]
+
+    def optimization_step(self, is_important: bool = True, finetuning: bool = False):
+        if not self._has_gaussians or not self.keyframes:
+            return
+        if (
+            self._np_rng.rand() > self.cfg.use_last_frame_proba
+            or self.last_trained_id == -1
+            or finetuning
+        ):
+            keyframe_id = self.get_training_id()
+        else:
+            keyframe_id = len(self.keyframes) - 1
+        kf = self.keyframes[keyframe_id]
+        lvl = kf.pyr_lvl
+        s = 2 ** lvl
+        w, h = self.width // s, self.height // s
+
+        gt, mono = self._device_kf(keyframe_id, lvl)
+        bg = jnp.asarray(self._np_rng.rand(3).astype(np.float32))
+
+        (self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,
+         self.mlp_lr, self.pool, metrics) = optimization_step_core(
+            self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,
+            self.mlp_lr, self.pool, jnp.asarray(keyframe_id),
+            gt, mono, self._K_at_lvl(lvl), bg,
+            w, h, lvl, is_important, bool(kf.is_test), self.cfg,
+        )
+        self.last_trained_id = keyframe_id
+        return metrics
+
+    def optimization_loop(self, n_iters: int, is_important: bool = True):
+        m = None
+        for _ in range(n_iters):
+            m = self.optimization_step(is_important=is_important)
+        return m
+
+    # -- densification ---------------------------------------------------
+    def add_new_gaussians(self, keyframe_id: int = -1):
+        if keyframe_id < 0:
+            keyframe_id = len(self.keyframes) - 1
+        kf = self.keyframes[keyframe_id]
+        if kf.is_test:
+            return
+
+        viewmat = KF.get_Rt(self.pool, keyframe_id)
+        R_w2c = np.asarray(viewmat[:3, :3])
+        t_w2c = np.asarray(viewmat[:3, 3])
+
+        has_scene = self.n_active_gaussians > 0
+        if has_scene:
+            pkg = self.render_from_id(keyframe_id)
+            render_rgb = pkg["render"]
+            render_depth = pkg["depth"]
+        else:
+            render_rgb = jnp.zeros((3, self.height, self.width))
+            render_depth = jnp.zeros((1, self.height, self.width))
+
+        image = jnp.asarray(kf.image_pyr[0])
+        pm_z = jnp.asarray(kf.point_map[..., 2])[None]
+        pconf = jnp.asarray(kf.point_conf)[None]
+
+        budget = self.cfg.new_budget // len(LODS)
+        all_cand = []
+        for lod in LODS:
+            b_lod = min(budget, (self.height // lod) * (self.width // lod))
+            cand = densify_candidates_core(
+                image, render_rgb, render_depth, jnp.asarray(has_scene),
+                pm_z, pconf, jnp.asarray(R_w2c), jnp.asarray(t_w2c),
+                self.f, self._rand(), lod, self.width, self.height,
+                b_lod, self.cfg,
+            )
+            all_cand.append((lod, cand))
+
+        # concatenate lod candidates
+        def cat(key):
+            return jnp.concatenate([c[key] for _, c in all_cand], axis=0)
+
+        new_xyz = cat("xyz")
+        new_valid = cat("valid")
+
+        # cluster assignment (voxel majority vote)
+        (self.cluster_state, upd_cls, new_cls, n_fresh) = clustering.update_clusters(
+            self.cluster_state, self.slab.xyz, self.slab.cls_id,
+            self.slab.active, new_xyz, new_valid,
+            self.cfg.voxel_size, self.cfg.voxel_table_size,
+            self.cfg.cluster_capacity,
+        )
+        self.slab = dataclasses.replace(self.slab, cls_id=upd_cls)
+
+        b_total = new_xyz.shape[0]
+        k = (self.cfg.sh_degree + 1) ** 2
+        new_fields = dict(
+            xyz=new_xyz,
+            f_dc=cat("f_dc"),
+            f_rest=jnp.zeros((b_total, k - 1, 3)),
+            scaling=cat("scaling"),
+            rotation=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (b_total, 1)),
+            opacity=cat("opacity"),
+            local_feat=jnp.zeros((b_total, self.cfg.local_feat_dim)),
+            d_max=cat("d_max"),
+            cls_id=new_cls,
+            kf_id=jnp.full((b_total,), keyframe_id, jnp.int32),
+            xyz_lr=jnp.full((b_total,), self.cfg.position_lr_init),
+        )
+
+        # prune before insert (opacity/screen-size, reference :893-903)
+        if has_scene:
+            opac = np.asarray(jax.nn.sigmoid(self.slab.opacity[:, 0]))
+            centre_w = -t_w2c @ R_w2c
+            dist = np.asarray(
+                jnp.linalg.norm(self.slab.xyz - jnp.asarray(centre_w), axis=-1)
+            )
+            screen = self.f * np.asarray(jnp.exp(self.slab.scaling).max(-1)) / np.maximum(dist, 1e-9)
+            keep = jnp.asarray((opac > 0.05) & (screen < 0.5 * self.width))
+            self.slab = G.prune(self.slab, keep)
+
+        # grow the slab when nearly full (recompile per power-of-two step)
+        want = int(self.slab.num_active()) + int(jnp.sum(new_valid))
+        cap = self.slab.capacity
+        while want > 0.85 * cap and cap < self.cfg.capacity:
+            cap = min(cap * 2, self.cfg.capacity)
+        if cap != self.slab.capacity:
+            self.slab, self.opt = G.grow(self.slab, self.opt, cap)
+
+        self.slab, self.opt, n_inserted = G.insert(
+            self.slab, self.opt, new_fields, new_valid
+        )
+
+        self.weed_out_gaussians()
+        n_inserted = int(n_inserted)
+        self._has_gaussians = self._has_gaussians or n_inserted > 0
+        return n_inserted
+
+    def weed_out_gaussians(self):
+        cam_centres = np.zeros((self.cfg.keyframe_capacity, 3), np.float32)
+        Rts = np.asarray(KF.get_all_Rt(self.pool))
+        used = np.asarray(self.pool.used)
+        for i in range(len(self.keyframes)):
+            R, t = Rts[i, :3, :3], Rts[i, :3, 3]
+            cam_centres[i] = -R.T @ t
+        self.slab = weed_core(
+            self.slab, jnp.asarray(cam_centres), jnp.asarray(used),
+            self.cfg.visible_threshold,
+        )
+
+    # -- loop closure ----------------------------------------------------
+    def rigid_transform_gs(self, old_c2ws: np.ndarray, new_c2ws: np.ndarray):
+        """old/new (Kf, 4, 4) camera-to-world; Kf >= number of keyframes."""
+        cap = self.cfg.keyframe_capacity
+        old = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+        new = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
+        old[: old_c2ws.shape[0]] = old_c2ws
+        new[: new_c2ws.shape[0]] = new_c2ws
+        self.slab = G.rigid_transform(
+            self.slab, jnp.asarray(old), jnp.asarray(new)
+        )
+
+    # -- evaluation ------------------------------------------------------
+    def harmonize_test_exposure(self):
+        expo = np.array(self.pool.exposure)  # writable copy
+        n = len(self.keyframes)
+        for i, kf in enumerate(self.keyframes):
+            if kf is not None and kf.is_test:
+                im = i - 1 if i != 0 else 1
+                ip = i + 1 if i != n - 1 else n - 2
+                expo[i] = (expo[im] + expo[ip]) / 2.0
+        self.pool = dataclasses.replace(self.pool, exposure=jnp.asarray(expo))
+
+    def evaluate(self, with_lpips: bool = False):
+        self.harmonize_test_exposure()
+        metrics = {"PSNR": 0.0, "SSIM": 0.0, "Render": 0.0, "GS": 0.0}
+        n_test = 0
+        for kf in self.keyframes:
+            if kf is None or not kf.is_test:
+                continue
+            gt = jnp.asarray(kf.image_pyr[0])
+            pkg = self.render_from_id(kf.index, pyr_lvl=0)
+            img = pkg["render"]
+            metrics["PSNR"] += float(losses.psnr(img, gt))
+            metrics["SSIM"] += float(fused_ssim(img, gt))
+            metrics["Render"] += float(jnp.sum(pkg["visibility"]))
+            metrics["GS"] += float(self.slab.capacity)
+            n_test += 1
+        if n_test:
+            metrics = {k: v / n_test for k, v in metrics.items()}
+        else:
+            metrics = {}
+        metrics["n_test_frames"] = n_test
+        return metrics

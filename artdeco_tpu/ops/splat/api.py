@@ -51,6 +51,7 @@ def rasterization(
     antialiased: bool = False,
     kx: int = 4,
     ky: int = 4,
+    valid_mask: Optional[jax.Array] = None,
 ):
     """Returns (render (H, W, C), alpha (H, W, 1), meta).
 
@@ -62,6 +63,12 @@ def rasterization(
         eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
         antialiased=antialiased, radius_clip=radius_clip,
     )
+    if valid_mask is not None:
+        # external culling (active/LOD masks) without boolean indexing:
+        # zeroed radii drop the gaussian from binning entirely
+        proj = proj._replace(
+            radii=jnp.where(valid_mask[:, None], proj.radii, 0.0)
+        )
 
     if sh_degree is not None:
         cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]

@@ -25,7 +25,9 @@ class Projected(NamedTuple):
 
 def quat_scale_to_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
     """(N,4) wxyz quats (unnormalized ok) + (N,3) scales -> (N,3,3) covariance."""
-    q = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    q = quats * jax.lax.rsqrt(
+        jnp.sum(quats * quats, axis=-1, keepdims=True) + 1e-20
+    )
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack(
         [
@@ -41,8 +43,13 @@ def quat_scale_to_cov3d(quats: jax.Array, scales: jax.Array) -> jax.Array:
 
 def _rot_wxyz_inv(quats: jax.Array, v: jax.Array) -> jax.Array:
     """Rotate batched vectors by the INVERSE of wxyz quats — elementwise VPU
-    math (avoids per-gaussian 3x3 matmuls, which XLA lowers terribly)."""
-    qn = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    math (avoids per-gaussian 3x3 matmuls, which XLA lowers terribly).
+    Zero quats (masked/inactive gaussians) are guarded against 0/0 NaNs,
+    which would otherwise leak into gradients through jnp.where (eps must be
+    INSIDE the sqrt: norm() has a NaN gradient at exactly 0)."""
+    qn = quats * jax.lax.rsqrt(
+        jnp.sum(quats * quats, axis=-1, keepdims=True) + 1e-20
+    )
     qv = -qn[..., 1:4]  # conjugate
     qw = qn[..., 0:1]
     uv = 2.0 * jnp.cross(qv, v)

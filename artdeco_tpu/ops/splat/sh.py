@@ -8,6 +8,7 @@ view-dependent color = clamp(SH(dir) + 0.5, 0)).
 from __future__ import annotations
 
 import jax
+import jax.lax
 import jax.numpy as jnp
 
 C0 = 0.28209479177387814
@@ -30,7 +31,11 @@ def eval_sh(degree: int, dirs: jax.Array, coeffs: jax.Array) -> jax.Array:
     coeffs: (N, K, 3) with K >= (degree+1)^2
     Returns (N, 3) colors (before the +0.5 shift).
     """
-    d = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # safe-norm with eps INSIDE the sqrt: norm() itself has a NaN gradient
+    # at exactly 0 (0/0) and clamping after the fact cannot remove it
+    d = dirs * jax.lax.rsqrt(
+        jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-20
+    )
     x, y, z = d[..., 0:1], d[..., 1:2], d[..., 2:3]
 
     result = C0 * coeffs[..., 0, :]

@@ -1,0 +1,184 @@
+"""Integration tests: scene model densify -> optimize -> improve PSNR."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from artdeco_tpu.mapper import clustering, gaussians as G, keyframe as KF
+from artdeco_tpu.mapper.config import MapperConfig
+from artdeco_tpu.mapper.scene_model import SceneModel
+from artdeco_tpu.ops import adam
+
+W, H = 64, 48
+F = 60.0
+K = [[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]]
+
+CFG = MapperConfig(
+    capacity=4096,
+    cluster_capacity=1024,
+    voxel_table_size=4096,
+    new_budget=1024,
+    keyframe_capacity=64,
+    sh_degree=1,
+    local_feat_dim=8,
+    global_feat_dim=8,
+    pyr_levels=1,
+    gs_add_ratio=1.0,
+    init_proba_scaler=4.0,
+)
+
+
+def _plane_keyframe(idx, t_x=0.0, is_test=False):
+    """Textured plane at z=2 viewed from x-offset t_x."""
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    img = np.stack(
+        [
+            0.5 + 0.4 * np.sin(u / 5.0 + t_x),
+            0.5 + 0.4 * np.cos(v / 4.0),
+            0.5 + 0.3 * np.sin((u + v) / 7.0),
+        ]
+    ).astype(np.float32)
+    img = np.clip(img, 0, 1)
+    depth = np.full((H, W), 2.0, np.float32)
+    pm = np.stack(
+        [
+            (u - W / 2) / F * depth,
+            (v - H / 2) / F * depth,
+            depth,
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    conf = np.ones((H, W), np.float32)
+    kf = KF.make_host_keyframe(
+        index=idx, global_frame_id=idx * 10, image=img, point_map=pm,
+        point_conf=conf, is_test=is_test, is_slam_keyframe=True,
+        pyr_levels=CFG.pyr_levels,
+    )
+    Rt = np.eye(4, dtype=np.float32)
+    Rt[0, 3] = t_x
+    return kf, Rt
+
+
+def test_sixd_roundtrip():
+    key = jax.random.PRNGKey(0)
+    from artdeco_tpu.geometry import lie
+
+    q = lie.quat_normalize(jax.random.normal(key, (5, 4)))
+    R = lie.quat_to_matrix(q)
+    R2 = KF.sixd_to_mtx(KF.mtx_to_sixd(R))
+    np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
+
+
+def test_slab_insert_prune():
+    slab = G.create_slab(64, 1, 4, 1e-4)
+    opt = G.create_opt_state(slab)
+    new = dict(
+        xyz=jnp.ones((8, 3)),
+        opacity=jnp.zeros((8, 1)),
+    )
+    valid = jnp.asarray([True] * 5 + [False] * 3)
+    slab, opt, n = G.insert(slab, opt, new, valid)
+    assert int(n) == 5
+    assert int(slab.num_active()) == 5
+    np.testing.assert_allclose(np.asarray(slab.xyz[:5]), 1.0)
+    # prune 2
+    keep = jnp.ones((64,), bool).at[0].set(False).at[3].set(False)
+    slab = G.prune(slab, keep)
+    assert int(slab.num_active()) == 3
+    # insert reuses freed slots
+    slab, opt, n2 = G.insert(
+        slab, opt, dict(xyz=jnp.full((4, 3), 2.0), opacity=jnp.zeros((4, 1))),
+        jnp.ones((4,), bool),
+    )
+    assert int(n2) == 4 and int(slab.num_active()) == 7
+    assert float(slab.xyz[0, 0]) == 2.0  # slot 0 was recycled
+
+
+def test_cluster_update():
+    st = clustering.create_cluster_state(1024)
+    xyz = jnp.zeros((16, 3))
+    cls_id = jnp.zeros((16,), jnp.int32)
+    active = jnp.zeros((16,), bool)
+    # two spatial groups of new points
+    new_xyz = jnp.concatenate(
+        [jnp.zeros((4, 3)), jnp.full((4, 3), 5.0)], axis=0
+    )
+    new_valid = jnp.ones((8,), bool)
+    st, upd, new_cls, n_fresh = clustering.update_clusters(
+        st, xyz, cls_id, active, new_xyz, new_valid, 0.1, 1024, 256
+    )
+    assert int(n_fresh) == 2
+    nc = np.asarray(new_cls)
+    assert len(set(nc[:4])) == 1 and len(set(nc[4:])) == 1
+    assert nc[0] != nc[4]
+    # a second batch landing in the same voxels adopts existing ids
+    st2, _, new_cls2, n_fresh2 = clustering.update_clusters(
+        st, new_xyz, new_cls, jnp.ones((8,), bool),
+        jnp.zeros((2, 3)), jnp.ones((2,), bool), 0.1, 1024, 256
+    )
+    assert int(n_fresh2) == 0
+    assert np.asarray(new_cls2)[0] == nc[0]
+
+
+def test_scene_model_end_to_end():
+    np.random.seed(0)
+    sm = SceneModel(W, H, K, CFG, seed=0)
+    kf0, Rt0 = _plane_keyframe(0)
+    sm.add_keyframe(kf0, Rt0)
+    n_ins = sm.add_new_gaussians(0)
+    assert n_ins > 100, n_ins
+    assert sm.n_active_gaussians == n_ins
+
+    pkg = sm.render_from_id(0)
+    assert pkg["render"].shape == (3, H, W)
+
+    gt = jnp.asarray(kf0.image_pyr[0])
+    def cur_psnr():
+        from artdeco_tpu.mapper import losses
+        p = sm.render_from_id(0, bg=jnp.zeros(3))
+        return float(losses.psnr(p["render"], gt))
+
+    p0 = cur_psnr()
+    m = sm.optimization_loop(25, is_important=True)
+    p1 = cur_psnr()
+    assert m is not None and np.isfinite(float(m["loss"]))
+    assert p1 > p0 + 1.0, (p0, p1)
+
+    # second keyframe, densify again, keep optimizing
+    kf1, Rt1 = _plane_keyframe(1, t_x=0.05)
+    sm.add_keyframe(kf1, Rt1)
+    sm.add_new_gaussians(1)
+    sm.optimization_loop(10, is_important=True)
+    assert sm.n_active_gaussians > 0
+
+    # rigid transform with identity delta must not change the render much
+    before = np.asarray(sm.render_from_id(0)["render"])
+    eye = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+    sm.rigid_transform_gs(eye, eye)
+    after = np.asarray(sm.render_from_id(0)["render"])
+    np.testing.assert_allclose(after, before, atol=1e-4)
+
+    # rigid transform with a real shift moves gaussians
+    new = eye.copy()
+    new[:, 0, 3] = 0.5
+    xyz_before = np.asarray(sm.slab.xyz[:10]).copy()
+    sm.rigid_transform_gs(eye, new)
+    xyz_after = np.asarray(sm.slab.xyz[:10])
+    np.testing.assert_allclose(xyz_after[:, 0] - xyz_before[:, 0], 0.5, atol=1e-4)
+
+
+def test_scene_model_eval_with_test_frame():
+    np.random.seed(1)
+    sm = SceneModel(W, H, K, CFG, seed=1)
+    kf0, Rt0 = _plane_keyframe(0)
+    sm.add_keyframe(kf0, Rt0)
+    sm.add_new_gaussians(0)
+    kf1, Rt1 = _plane_keyframe(1, t_x=0.02, is_test=True)
+    sm.add_keyframe(kf1, Rt1)
+    sm.optimization_loop(8)
+    m = sm.evaluate()
+    assert m["n_test_frames"] == 1
+    assert np.isfinite(m["PSNR"])
