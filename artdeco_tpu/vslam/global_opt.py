@@ -1,0 +1,396 @@
+"""Factor graph + global Sim(3) Gauss-Newton pose optimization.
+
+Reference: ``VSLAM/mast3r_slam/global_opt.py:11-231`` (FactorGraph) and the
+native solver ``VSLAM/backend/src/gn_kernels.cu:1231-1637``
+(calib_proj_kernel + gauss_newton_calib driver + SparseBlock Eigen solve).
+
+TPU redesign: the per-edge CUDA block accumulating a 14x14 upper-triangular
+Hessian over H*W points becomes a batched einsum over a chunked ``lax.scan``
+(bounded VMEM); the CPU double-precision sparse Cholesky roundtrip becomes an
+on-device dense f32 Cholesky with Tikhonov jitter — pose counts are bounded
+(<=2048 keyframes) so dense beats the reference's device->host->device sync
+every iteration (SURVEY.md §7 "GN solver numerics").
+
+Edge storage is padded to power-of-two capacities so the jitted solver
+recompiles only on capacity growth.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from artdeco_tpu.geometry import lie
+
+
+# ---------------------------------------------------------------------------
+# Jitted GN solver
+# ---------------------------------------------------------------------------
+
+def _edge_terms(T_wc, Xs, Cs, K, i_idx, j_idx, idx_ii2jj, valid_match, Q,
+                height, width, pixel_border, z_eps, sigma_pixel, sigma_depth,
+                C_thresh, Q_thresh, edge_valid):
+    """Hessian blocks + gradients for ONE edge (calib_proj_kernel math).
+
+    Returns (Hii, Hij, Hji, Hjj (7,7) each, gi, gj (7,)).
+    """
+    Ti = T_wc[i_idx]
+    Tj = T_wc[j_idx]
+    Tij = lie.sim3_rel(Ti, Tj)
+
+    ind = jnp.where(valid_match, idx_ii2jj, 0)
+    Xi = Xs[i_idx][ind]          # (HW, 3) measured points in frame i
+    Xj = Xs[j_idx]               # (HW, 3)
+    Xj_Ci = lie.sim3_act(Tij, Xj)
+
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+
+    valid_z = (Xj_Ci[:, 2] > z_eps) & (Xi[:, 2] > z_eps)
+    zj = jnp.where(valid_z, Xj_Ci[:, 2], 1.0)
+    zj_inv = jnp.where(valid_z, 1.0 / zj, 0.0)
+    zj_log = jnp.where(valid_z, jnp.log(zj), 0.0)
+    zi_log = jnp.where(valid_z, jnp.log(jnp.where(valid_z, Xi[:, 2], 1.0)), 0.0)
+
+    x_div_z = Xj_Ci[:, 0] * zj_inv
+    y_div_z = Xj_Ci[:, 1] * zj_inv
+    u = fx * x_div_z + cx
+    v = fy * y_div_z + cy
+
+    u_t = (ind % width).astype(jnp.float32)
+    v_t = (ind // width).astype(jnp.float32)
+
+    valid_u = (u > pixel_border) & (u < width - 1 - pixel_border)
+    valid_v = (v > pixel_border) & (v < height - 1 - pixel_border)
+
+    err = jnp.stack([u - u_t, v - v_t, zj_log - zi_log], axis=-1)  # (HW, 3)
+
+    q = Q[:, 0]
+    ci = Cs[i_idx][ind, 0]
+    cj = Cs[j_idx][:, 0]
+    valid = (
+        valid_match & (q > Q_thresh) & (ci > C_thresh) & (cj > C_thresh)
+        & valid_u & valid_v & valid_z & edge_valid
+    )
+    sqrt_w_pix = jnp.where(valid, (1.0 / sigma_pixel) * jnp.sqrt(q), 0.0)
+    sqrt_w_dep = jnp.where(valid, (1.0 / sigma_depth) * jnp.sqrt(q), 0.0)
+
+    def huber(r):
+        r_abs = jnp.abs(r)
+        return jnp.where(r_abs < 1.345, 1.0, 1.345 / jnp.maximum(r_abs, 1e-12))
+
+    w = jnp.stack(
+        [
+            huber(sqrt_w_pix * err[:, 0]) * sqrt_w_pix * sqrt_w_pix,
+            huber(sqrt_w_pix * err[:, 1]) * sqrt_w_pix * sqrt_w_pix,
+            huber(sqrt_w_dep * err[:, 2]) * sqrt_w_dep * sqrt_w_dep,
+        ],
+        axis=-1,
+    )  # (HW, 3)
+
+    zeros = jnp.zeros_like(x_div_z)
+    ones = jnp.ones_like(x_div_z)
+    # local (frame-i) 7-dim generator Jacobians per residual row
+    J_u = jnp.stack(
+        [fx * zj_inv, zeros, -fx * x_div_z * zj_inv,
+         -fx * x_div_z * y_div_z, fx * (1 + x_div_z * x_div_z),
+         -fx * y_div_z, zeros], axis=-1,
+    )
+    J_v = jnp.stack(
+        [zeros, fy * zj_inv, -fy * y_div_z * zj_inv,
+         -fy * (1 + y_div_z * y_div_z), fy * x_div_z * y_div_z,
+         fy * x_div_z, zeros], axis=-1,
+    )
+    J_z = jnp.stack(
+        [zeros, zeros, zj_inv, y_div_z, -x_div_z, zeros, ones], axis=-1,
+    )
+    J_loc = jnp.stack([J_u, J_v, J_z], axis=1)  # (HW, 3, 7)
+    # world-frame tangent of pose j via Adj_i^{-T}; pose i gets the negative
+    Jj = lie.sim3_adj_inv_transpose_apply(Ti, J_loc)  # broadcasts (HW,3,7)
+    Ji = -Jj
+
+    # accumulate H = J^T W J over points and residual rows (MXU einsums)
+    wJj = w[..., None] * Jj
+    Hjj = jnp.einsum("nrc,nrd->cd", wJj, Jj)
+    # Hii == Hjj, Hij = -Hjj (Ji = -Jj) — computed explicitly for clarity
+    Hii = Hjj
+    Hij = -Hjj
+    Hji = -Hjj
+    gj = jnp.einsum("nr,nrc->c", w * err, Jj)
+    gi = -gj
+    return Hii, Hij, Hji, Hjj, gi, gj
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_iter", "num_fix", "chunk"),
+)
+def gauss_newton_calib(
+    T_wc: jax.Array,        # (P, 8) Sim3 poses (padded; first num_fix fixed)
+    Xs: jax.Array,          # (P, HW, 3) pointmaps (ray-constrained)
+    Cs: jax.Array,          # (P, HW, 1) average confidences
+    K: jax.Array,           # (3, 3)
+    ii: jax.Array,          # (E,) int32 edge source (pose index)
+    jj: jax.Array,          # (E,) int32 edge target
+    idx_ii2jj: jax.Array,   # (E, HW) int32
+    valid_match: jax.Array,  # (E, HW) bool
+    Q: jax.Array,           # (E, HW, 1)
+    edge_valid: jax.Array,  # (E,) bool — padding edges contribute nothing
+    pose_used: jax.Array,   # (P,) bool — padding poses pinned
+    height: int,
+    width: int,
+    pixel_border: int = -10,
+    z_eps: float = 1e-6,
+    sigma_pixel: float = 1.0,
+    sigma_depth: float = 10.0,
+    C_thresh: float = 0.0,
+    Q_thresh: float = 1.5,
+    max_iter: int = 10,
+    delta_thresh: float = 1e-8,
+    num_fix: int = 1,
+    chunk: int = 8,
+):
+    """Global Sim(3) pose-graph GN (gauss_newton_calib_cuda semantics).
+
+    Returns updated poses (P, 8).
+    """
+    P = T_wc.shape[0]
+    E = ii.shape[0]
+    D = 7
+
+    free = pose_used & (jnp.arange(P) >= num_fix)  # optimizable poses
+
+    def one_iter(carry):
+        it, T, dn = carry
+
+        def edge_chunk(acc, c):
+            Hacc, gacc = acc
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)
+            e_ii = sl(ii)
+            e_jj = sl(jj)
+            e_idx = sl(idx_ii2jj)
+            e_vm = sl(valid_match)
+            e_q = sl(Q)
+            e_ev = sl(edge_valid)
+            Hii, Hij, Hji, Hjj, gi, gj = jax.vmap(
+                lambda a, b, cdx, d, e, f: _edge_terms(
+                    T, Xs, Cs, K, a, b, cdx, d, e,
+                    height, width, pixel_border, z_eps, sigma_pixel,
+                    sigma_depth, C_thresh, Q_thresh, edge_valid=f,
+                )
+            )(e_ii, e_jj, e_idx, e_vm, e_q, e_ev)
+            # scatter-add into the dense (P, P, 7, 7) block matrix
+            Hacc = Hacc.at[e_ii, e_ii].add(Hii)
+            Hacc = Hacc.at[e_ii, e_jj].add(Hij)
+            Hacc = Hacc.at[e_jj, e_ii].add(Hji)
+            Hacc = Hacc.at[e_jj, e_jj].add(Hjj)
+            gacc = gacc.at[e_ii].add(gi)
+            gacc = gacc.at[e_jj].add(gj)
+            return (Hacc, gacc), None
+
+        H0 = jnp.zeros((P, P, D, D))
+        g0 = jnp.zeros((P, D))
+        (H, g), _ = jax.lax.scan(
+            edge_chunk, (H0, g0), jnp.arange(E // chunk)
+        )
+
+        # dense assembly; pin fixed/unused poses by identity rows
+        Hd = H.transpose(0, 2, 1, 3).reshape(P * D, P * D)
+        gd = g.reshape(P * D)
+        pin = jnp.repeat(~free, D)
+        Hd = jnp.where(pin[:, None] | pin[None, :], 0.0, Hd)
+        Hd = Hd + jnp.diag(jnp.where(pin, 1.0, 1e-6))  # jitter + pinning
+        dx = -jnp.linalg.solve(Hd, gd)
+        dx = jnp.where(pin, 0.0, dx).reshape(P, D)
+
+        T_new = lie.sim3_normalize(lie.sim3_retr(T, dx))
+        T = jnp.where(free[:, None], T_new, T)
+        return it + 1, T, jnp.linalg.norm(dx)
+
+    def cond(carry):
+        it, T, dn = carry
+        return (it < max_iter) & (dn >= delta_thresh)
+
+    _, T_out, _ = jax.lax.while_loop(
+        cond, one_iter, (jnp.int32(0), T_wc, jnp.asarray(jnp.inf))
+    )
+    return T_out
+
+
+# ---------------------------------------------------------------------------
+# Host-side factor graph
+# ---------------------------------------------------------------------------
+
+class FactorGraph:
+    """Edge store with two-way matching (reference global_opt.py:11-136).
+
+    Host numpy arrays padded to power-of-two capacity for the jitted solver.
+    """
+
+    def __init__(self, cfg: dict, runner, keyframes, K, hw):
+        self.cfg = cfg["local_opt"]
+        self.runner = runner          # Mast3rRunner (match_symmetric)
+        self.keyframes = keyframes    # KeyframeStore
+        self.K = np.asarray(K, np.float32)
+        self.h, self.w = hw
+        n = self.h * self.w
+        self.ii: list[int] = []
+        self.jj: list[int] = []
+        self.idx_ii2jj = np.zeros((0, n), np.int32)
+        self.idx_jj2ii = np.zeros((0, n), np.int32)
+        self.valid_match_j = np.zeros((0, n), bool)
+        self.valid_match_i = np.zeros((0, n), bool)
+        self.Q_ii2jj = np.zeros((0, n), np.float32)
+        self.Q_jj2ii = np.zeros((0, n), np.float32)
+
+    def __len__(self):
+        return len(self.ii)
+
+    def add_factors(self, ii: list, jj: list, min_match_frac: float,
+                    is_reloc: bool = False) -> bool:
+        """Symmetric-match candidate edges; keep those with two-way match
+        fraction above threshold (global_opt.py:40-113)."""
+        if not ii:
+            return False
+        import jax.numpy as jnp
+
+        feat_i = jnp.concatenate(
+            [self.keyframes.get_embedding(i)[0] for i in ii], axis=0
+        )
+        pos_i = jnp.concatenate(
+            [self.keyframes.get_embedding(i)[1] for i in ii], axis=0
+        )
+        feat_j = jnp.concatenate(
+            [self.keyframes.get_embedding(j)[0] for j in jj], axis=0
+        )
+        pos_j = jnp.concatenate(
+            [self.keyframes.get_embedding(j)[1] for j in jj], axis=0
+        )
+        (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij) = (
+            self.runner.match_symmetric(feat_i, pos_i, feat_j, pos_j,
+                                        (self.h, self.w))
+        )
+        idx_i2j = np.asarray(idx_i2j)
+        idx_j2i = np.asarray(idx_j2i)
+        vm_j = np.asarray(vm_j)[..., 0]
+        vm_i = np.asarray(vm_i)[..., 0]
+        Qii_, Qjj_ = np.asarray(Qii)[..., 0], np.asarray(Qjj)[..., 0]
+        Qji_, Qij_ = np.asarray(Qji)[..., 0], np.asarray(Qij)[..., 0]
+
+        b = len(ii)
+        rows = np.arange(idx_i2j.shape[1])
+        Qj = np.sqrt(Qii_[np.arange(b)[:, None], idx_i2j] * Qji_)
+        Qi = np.sqrt(Qjj_[np.arange(b)[:, None], idx_j2i] * Qij_)
+        valid_j = vm_j & (Qj > self.cfg["Q_conf"])
+        valid_i = vm_i & (Qi > self.cfg["Q_conf"])
+        frac_j = valid_j.mean(axis=1)
+        frac_i = valid_i.mean(axis=1)
+
+        ii_arr = np.asarray(ii)
+        jj_arr = np.asarray(jj)
+        invalid = np.minimum(frac_j, frac_i) < min_match_frac
+        consecutive = ii_arr == (jj_arr - 1)
+        invalid = (~consecutive) & invalid
+        if invalid.any() and is_reloc:
+            return False
+        keep = ~invalid
+        if not keep.any():
+            return False
+
+        self.ii += ii_arr[keep].tolist()
+        self.jj += jj_arr[keep].tolist()
+        self.idx_ii2jj = np.concatenate([self.idx_ii2jj, idx_i2j[keep]], 0)
+        self.idx_jj2ii = np.concatenate([self.idx_jj2ii, idx_j2i[keep]], 0)
+        self.valid_match_j = np.concatenate([self.valid_match_j, vm_j[keep]], 0)
+        self.valid_match_i = np.concatenate([self.valid_match_i, vm_i[keep]], 0)
+        self.Q_ii2jj = np.concatenate([self.Q_ii2jj, Qj[keep]], 0)
+        self.Q_jj2ii = np.concatenate([self.Q_jj2ii, Qi[keep]], 0)
+        return True
+
+    # -- solver ------------------------------------------------------------
+    def _two_way(self):
+        """(global_opt.py:130-136) duplicate edges in both directions."""
+        ii = np.asarray(self.ii + self.jj, np.int32)
+        jj = np.asarray(self.jj + self.ii, np.int32)
+        idx = np.concatenate([self.idx_ii2jj, self.idx_jj2ii], 0)
+        vm = np.concatenate([self.valid_match_j, self.valid_match_i], 0)
+        q = np.concatenate([self.Q_ii2jj, self.Q_jj2ii], 0)
+        return ii, jj, idx, vm, q
+
+    @staticmethod
+    def _pow2(n, lo=8):
+        c = lo
+        while c < n:
+            c *= 2
+        return c
+
+    def solve_GN_calib(self):
+        from artdeco_tpu.geometry import projection as proj
+
+        pin = int(self.cfg["pin"])
+        uniq = np.unique(np.asarray(self.ii + self.jj, np.int64))
+        if uniq.size <= pin:
+            return
+        remap = {int(k): i for i, k in enumerate(uniq)}
+
+        P = self._pow2(uniq.size)
+        hw = self.h * self.w
+        T = np.tile(np.asarray([0, 0, 0, 0, 0, 0, 1, 1], np.float32), (P, 1))
+        Xs = np.zeros((P, hw, 3), np.float32)
+        Cs = np.full((P, hw, 1), -1.0, np.float32)
+        used = np.zeros(P, bool)
+        for k, i in remap.items():
+            T[i] = self.keyframes.T_WC[k]
+            Xs[i] = self.keyframes.X[k]
+            Cs[i] = self.keyframes.C[k] / max(int(self.keyframes.N[k]), 1)
+            used[i] = True
+
+        # constrain to rays (global_opt.py:189-191)
+        import jax.numpy as jnp
+
+        Xs_j = proj.constrain_points_to_ray(
+            (self.h, self.w), jnp.asarray(Xs), jnp.asarray(self.K)
+        )
+
+        ii, jj, idx, vm, q = self._two_way()
+        E = self._pow2(ii.shape[0], lo=8)
+        ii_p = np.zeros(E, np.int32)
+        jj_p = np.zeros(E, np.int32)
+        idx_p = np.zeros((E, hw), np.int32)
+        vm_p = np.zeros((E, hw), bool)
+        q_p = np.zeros((E, hw), np.float32)
+        ev = np.zeros(E, bool)
+        n_e = ii.shape[0]
+        ii_p[:n_e] = [remap[int(x)] for x in ii]
+        jj_p[:n_e] = [remap[int(x)] for x in jj]
+        idx_p[:n_e] = idx
+        vm_p[:n_e] = vm
+        q_p[:n_e] = q
+        ev[:n_e] = True
+
+        T_new = gauss_newton_calib(
+            jnp.asarray(T), Xs_j, jnp.asarray(Cs), jnp.asarray(self.K),
+            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(idx_p),
+            jnp.asarray(vm_p), jnp.asarray(q_p)[..., None],
+            jnp.asarray(ev), jnp.asarray(used),
+            self.h, self.w,
+            pixel_border=int(self.cfg["pixel_border"]),
+            z_eps=float(self.cfg["depth_eps"]),
+            sigma_pixel=float(self.cfg["sigma_pixel"]),
+            sigma_depth=float(self.cfg["sigma_depth"]),
+            C_thresh=float(self.cfg["C_conf"]),
+            Q_thresh=float(self.cfg["Q_conf"]),
+            max_iter=int(self.cfg["max_iters"]),
+            delta_thresh=float(self.cfg["delta_norm"]),
+            num_fix=1,
+        )
+        T_new = np.asarray(T_new)
+        # write back all but the pinned prefix (global_opt.py:231)
+        upd = uniq[pin:]
+        self.keyframes.update_T_WCs(
+            T_new[[remap[int(k)] for k in upd]], upd
+        )

@@ -1,0 +1,176 @@
+"""Global GN pose-graph solver test on an exactly-consistent synthetic scene."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from artdeco_tpu.geometry import lie
+from artdeco_tpu.vslam.global_opt import gauss_newton_calib
+
+H, W = 32, 40
+F = 40.0
+K = np.asarray([[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]], np.float32)
+
+
+def plane_pointmap(T_wc, z_plane=2.0):
+    """Exact per-pixel pointmap of the plane z_w = z_plane seen from T_wc."""
+    R = np.asarray(lie.quat_to_matrix(jnp.asarray(T_wc[3:7])))
+    s = T_wc[7]
+    t = T_wc[0:3]
+    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    rays = np.stack([(u - W / 2) / F, (v - H / 2) / F, np.ones_like(u)], -1)
+    d_w = s * (rays @ R.T)  # world direction of the camera ray
+    o_z = t[2]
+    sc = (z_plane - o_z) / d_w[..., 2]
+    # world = t + sc * d_w = T_wc(sc * rays)  => camera-frame point = sc * rays
+    X_cam = rays * sc[..., None]
+    return X_cam.reshape(-1, 3).astype(np.float32)
+
+
+def project_to(T_wc, world_pts):
+    T_cw = np.asarray(lie.sim3_inv(jnp.asarray(T_wc)))
+    Xc = np.asarray(lie.sim3_act(jnp.asarray(T_cw), jnp.asarray(world_pts)))
+    u = F * Xc[:, 0] / Xc[:, 2] + W / 2
+    v = F * Xc[:, 1] / Xc[:, 2] + H / 2
+    return u, v
+
+
+def test_gauss_newton_calib_recovers_poses():
+    # ground-truth poses: identity + two small offsets
+    xis = [
+        np.zeros(7),
+        np.asarray([0.05, -0.02, 0.03, 0.02, -0.01, 0.015, 0.01]),
+        np.asarray([-0.04, 0.03, 0.06, -0.015, 0.02, -0.01, -0.02]),
+    ]
+    T_gt = np.stack([np.asarray(lie.sim3_exp(jnp.asarray(x, jnp.float32)))
+                     for x in xis])
+    X = np.stack([plane_pointmap(T) for T in T_gt])  # (3, HW, 3)
+    C = np.full((3, H * W, 1), 5.0, np.float32)
+
+    # edges (two-way): (0,1), (1,0), (1,2), (2,1)
+    edges = [(0, 1), (1, 0), (1, 2), (2, 1)]
+    HWn = H * W
+    idx = np.zeros((len(edges), HWn), np.int32)
+    vm = np.zeros((len(edges), HWn), bool)
+    for e, (i, j) in enumerate(edges):
+        # for each pixel k of frame j: where does that point fall in frame i?
+        world = np.asarray(
+            lie.sim3_act(jnp.asarray(T_gt[j]), jnp.asarray(X[j]))
+        )
+        u, v = project_to(T_gt[i], world)
+        ui = np.round(u).astype(np.int64)
+        vi = np.round(v).astype(np.int64)
+        ok = (ui >= 1) & (ui < W - 1) & (vi >= 1) & (vi < H - 1)
+        idx[e] = np.clip(vi * W + ui, 0, HWn - 1)
+        vm[e] = ok
+    Q = np.full((len(edges), HWn, 1), 4.0, np.float32)
+
+    # pad to capacities
+    P, E = 4, 8
+    T0 = np.tile([0, 0, 0, 0, 0, 0, 1, 1], (P, 1)).astype(np.float32)
+    # perturbed init: pose 0 exact (fixed), others disturbed well above the
+    # ~0.1 noise floor induced by integer-pixel match quantization
+    T0[0] = T_gt[0]
+    for i in (1, 2):
+        d = np.asarray([0.15, -0.1, 0.2, 0.05, -0.1, 0.075, 0.075],
+                       np.float32) * (1 if i == 1 else -1)
+        T0[i] = np.asarray(
+            lie.sim3_mul(lie.sim3_exp(jnp.asarray(d)), jnp.asarray(T_gt[i]))
+        )
+    Xp = np.zeros((P, HWn, 3), np.float32)
+    Cp = np.zeros((P, HWn, 1), np.float32)
+    Xp[:3] = X
+    Cp[:3] = C
+    used = np.asarray([True, True, True, False])
+
+    ii = np.zeros(E, np.int32)
+    jj = np.zeros(E, np.int32)
+    idx_p = np.zeros((E, HWn), np.int32)
+    vm_p = np.zeros((E, HWn), bool)
+    Q_p = np.zeros((E, HWn, 1), np.float32)
+    ev = np.zeros(E, bool)
+    for e, (i, j) in enumerate(edges):
+        ii[e], jj[e] = i, j
+        idx_p[e] = idx[e]
+        vm_p[e] = vm[e]
+        Q_p[e] = Q[e]
+        ev[e] = True
+
+    T_out = gauss_newton_calib(
+        jnp.asarray(T0), jnp.asarray(Xp), jnp.asarray(Cp), jnp.asarray(K),
+        jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx_p),
+        jnp.asarray(vm_p), jnp.asarray(Q_p), jnp.asarray(ev),
+        jnp.asarray(used), H, W, max_iter=10, delta_thresh=1e-8,
+        sigma_pixel=1.0, sigma_depth=10.0, Q_thresh=1.5, chunk=8,
+    )
+    T_out = np.asarray(T_out)
+
+    # pose errors must shrink to the quantization noise floor (~0.11)
+    for i in (1, 2):
+        err0 = np.linalg.norm(np.asarray(lie.sim3_log(
+            lie.sim3_mul(lie.sim3_inv(jnp.asarray(T0[i])), jnp.asarray(T_gt[i]))
+        )))
+        err1 = np.linalg.norm(np.asarray(lie.sim3_log(
+            lie.sim3_mul(lie.sim3_inv(jnp.asarray(T_out[i])), jnp.asarray(T_gt[i]))
+        )))
+        assert err1 < 0.45 * err0, (i, err0, err1)
+    # fixed pose untouched
+    np.testing.assert_allclose(T_out[0], T0[0], atol=1e-6)
+
+
+def test_gauss_newton_exact_integer_shift():
+    """Pure x-translation by an exact pixel multiple: zero quantization ->
+    the solver must recover the pose almost exactly."""
+    z_plane = 2.0
+    shift_px = 3.0
+    tx = shift_px * z_plane / F  # pixel shift = F * tx / z
+    T_gt = np.stack([
+        np.asarray([0, 0, 0, 0, 0, 0, 1, 1], np.float32),
+        np.asarray([tx, 0, 0, 0, 0, 0, 1, 1], np.float32),
+    ])
+    X = np.stack([plane_pointmap(T) for T in T_gt])
+    HWn = H * W
+    C = np.full((2, HWn, 1), 5.0, np.float32)
+
+    edges = [(0, 1), (1, 0)]
+    idx = np.zeros((2, HWn), np.int32)
+    vm = np.zeros((2, HWn), bool)
+    for e, (i, j) in enumerate(edges):
+        world = np.asarray(lie.sim3_act(jnp.asarray(T_gt[j]), jnp.asarray(X[j])))
+        u, v = project_to(T_gt[i], world)
+        ui = np.round(u).astype(np.int64)
+        vi = np.round(v).astype(np.int64)
+        assert np.abs(u - ui)[(ui >= 1) & (ui < W - 1)].max() < 1e-3
+        ok = (ui >= 1) & (ui < W - 1) & (vi >= 1) & (vi < H - 1)
+        idx[e] = np.clip(vi * W + ui, 0, HWn - 1)
+        vm[e] = ok
+
+    P, E = 2, 8
+    T0 = T_gt.copy()
+    d = np.asarray([0.08, -0.05, 0.1, 0.03, -0.05, 0.04, 0.04], np.float32)
+    T0[1] = np.asarray(
+        lie.sim3_mul(lie.sim3_exp(jnp.asarray(d)), jnp.asarray(T_gt[1]))
+    )
+    ii = np.zeros(E, np.int32)
+    jj = np.zeros(E, np.int32)
+    idx_p = np.zeros((E, HWn), np.int32)
+    vm_p = np.zeros((E, HWn), bool)
+    Q_p = np.zeros((E, HWn, 1), np.float32)
+    ev = np.zeros(E, bool)
+    for e, (i, j) in enumerate(edges):
+        ii[e], jj[e] = i, j
+        idx_p[e] = idx[e]
+        vm_p[e] = vm[e]
+        Q_p[e] = 4.0
+        ev[e] = True
+    used = np.asarray([True, True])
+
+    T_out = np.asarray(gauss_newton_calib(
+        jnp.asarray(T0), jnp.asarray(X), jnp.asarray(C), jnp.asarray(K),
+        jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx_p),
+        jnp.asarray(vm_p), jnp.asarray(Q_p), jnp.asarray(ev),
+        jnp.asarray(used), H, W, max_iter=10, delta_thresh=1e-10, chunk=8,
+    ))
+    err = np.linalg.norm(np.asarray(lie.sim3_log(
+        lie.sim3_mul(lie.sim3_inv(jnp.asarray(T_out[1])), jnp.asarray(T_gt[1]))
+    )))
+    assert err < 2e-3, err
