@@ -1,0 +1,168 @@
+"""Oracle pointmap runner: ground-truth geometry in the Mast3rRunner shape.
+
+Serves the role of a perfectly-trained MASt3R for integration tests and
+synthetic benchmarks: pointmaps come from an analytic scene (textured plane)
+and known poses, descriptors encode true world position.  Lets the full
+system (tracker -> backend GN -> mapper) be validated end-to-end without
+network weights, which is how the reference's driver configs 1-3 are
+exercised here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from artdeco_tpu.geometry import lie
+from artdeco_tpu.ops import matching
+
+
+class OracleRunner:
+    """Drop-in for Mast3rRunner over a plane scene with known poses."""
+
+    def __init__(self, hw: Tuple[int, int], K: np.ndarray, match_cfg: dict,
+                 z_plane: float = 2.0, conf: float = 5.0):
+        self.h, self.w = hw
+        self.K = np.asarray(K, np.float32)
+        self.match_cfg = dict(match_cfg)
+        self.z_plane = z_plane
+        self.conf_value = conf
+        self._by_hash: Dict[bytes, int] = {}
+        self._poses: Dict[int, np.ndarray] = {}
+
+    # -- registration -------------------------------------------------------
+    def register(self, img, frame_id: int, T_wc_sim3: np.ndarray):
+        key = hashlib.sha1(np.asarray(img).tobytes()).digest()
+        self._by_hash[key] = frame_id
+        self._poses[frame_id] = np.asarray(T_wc_sim3, np.float32)
+
+    def _fid(self, img) -> int:
+        key = hashlib.sha1(np.asarray(img).tobytes()).digest()
+        return self._by_hash[key]
+
+    # -- geometry -----------------------------------------------------------
+    def _pointmap(self, fid: int) -> np.ndarray:
+        """Plane z_w = z_plane in frame fid's camera coords, pixel-aligned."""
+        T = self._poses[fid]
+        R = np.asarray(lie.quat_to_matrix(jnp.asarray(T[3:7])))
+        s, t = T[7], T[0:3]
+        u, v = np.meshgrid(np.arange(self.w), np.arange(self.h))
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        rays = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
+        d_w = s * (rays @ R.T)
+        sc = (self.z_plane - t[2]) / d_w[..., 2]
+        return (rays * sc[..., None]).reshape(-1, 3).astype(np.float32)
+
+    def _cross_pointmap(self, fid_src: int, fid_dst: int) -> np.ndarray:
+        """Frame src's points expressed in dst's camera (per src pixel)."""
+        X = self._pointmap(fid_src)
+        T_rel = lie.sim3_mul(
+            lie.sim3_inv(jnp.asarray(self._poses[fid_dst])),
+            jnp.asarray(self._poses[fid_src]),
+        )
+        return np.asarray(lie.sim3_act(T_rel, jnp.asarray(X)))
+
+    def _desc(self, fid: int) -> np.ndarray:
+        """World-position descriptors: matched pixels share descriptors."""
+        T = self._poses[fid]
+        Xw = np.asarray(
+            lie.sim3_act(jnp.asarray(T), jnp.asarray(self._pointmap(fid)))
+        )
+        f = np.concatenate(
+            [np.sin(Xw * 40.0), np.cos(Xw * 40.0)], axis=-1
+        ).astype(np.float32)
+        return f / np.linalg.norm(f, axis=-1, keepdims=True)
+
+    def _conf(self):
+        return np.full((self.h * self.w, 1), self.conf_value, np.float32)
+
+    # -- Mast3rRunner surface -------------------------------------------------
+    def encode_image(self, img):
+        fid = self._fid(np.asarray(img)[0] if np.asarray(img).ndim == 4
+                        else img)
+        feat = np.zeros((1, 4, 4), np.float32)
+        feat[0, 0, 0] = fid
+        pos = np.zeros((1, 4, 2), np.int32)
+        return jnp.asarray(feat), jnp.asarray(pos)
+
+    @staticmethod
+    def _fid_from_feat(feat) -> int:
+        return int(np.asarray(feat)[0, 0, 0])
+
+    def inference_mono(self, img):
+        fid = self._fid(img)
+        X = jnp.asarray(self._pointmap(fid))
+        C = jnp.asarray(self._conf())
+        feat, pos = self.encode_image(img[None])
+        return jnp.stack([X, X]), jnp.stack([C, C]), feat, pos
+
+    def match_asymmetric(self, img_i, img_j, idx_i2j_init=None,
+                         embeddings_i=None, embeddings_j=None):
+        fi = self._fid(img_i) if embeddings_i is None else (
+            self._fid_from_feat(embeddings_i[0]))
+        fj = self._fid(img_j) if embeddings_j is None else (
+            self._fid_from_feat(embeddings_j[0]))
+        Xii = self._pointmap(fi)
+        Xji = self._cross_pointmap(fj, fi)
+        Dii = self._desc(fi)
+        Dji = self._desc(fj)
+        h, w = self.h, self.w
+        idx, valid = matching.match(
+            self.match_cfg,
+            jnp.asarray(Xii).reshape(1, h, w, 3),
+            jnp.asarray(Xji).reshape(1, h, w, 3),
+            jnp.asarray(Dii).reshape(1, h, w, -1),
+            jnp.asarray(Dji).reshape(1, h, w, -1),
+            idx_1_to_2_init=idx_i2j_init,
+        )
+        feat, pos = np.zeros((1, 4, 4), np.float32), np.zeros((1, 4, 2), np.int32)
+        feat[0, 0, 0] = fi
+        return (
+            idx, valid,
+            jnp.asarray(Xii), jnp.asarray(self._conf()), jnp.asarray(self._conf()),
+            jnp.asarray(Xji), jnp.asarray(self._conf()), jnp.asarray(self._conf()),
+            jnp.asarray(feat), jnp.asarray(pos),
+        )
+
+    def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, hw):
+        b = np.asarray(feat_i).shape[0]
+        h, w = hw
+        idx_i2j = []
+        idx_j2i = []
+        vj = []
+        vi = []
+        for e in range(b):
+            fi = int(np.asarray(feat_i)[e, 0, 0])
+            fj = int(np.asarray(feat_j)[e, 0, 0])
+            Xii = self._pointmap(fi)
+            Xji = self._cross_pointmap(fj, fi)
+            Xjj = self._pointmap(fj)
+            Xij = self._cross_pointmap(fi, fj)
+            Dii, Djj = self._desc(fi), self._desc(fj)
+            a, va = matching.match(
+                self.match_cfg,
+                jnp.asarray(Xii).reshape(1, h, w, 3),
+                jnp.asarray(Xji).reshape(1, h, w, 3),
+                jnp.asarray(Dii).reshape(1, h, w, -1),
+                jnp.asarray(Djj).reshape(1, h, w, -1),
+            )
+            c, vc = matching.match(
+                self.match_cfg,
+                jnp.asarray(Xjj).reshape(1, h, w, 3),
+                jnp.asarray(Xij).reshape(1, h, w, 3),
+                jnp.asarray(Djj).reshape(1, h, w, -1),
+                jnp.asarray(Dii).reshape(1, h, w, -1),
+            )
+            idx_i2j.append(a[0])
+            idx_j2i.append(c[0])
+            vj.append(va[0])
+            vi.append(vc[0])
+        Qc = jnp.full((b, h * w, 1), self.conf_value)
+        return (
+            jnp.stack(idx_i2j), jnp.stack(idx_j2i),
+            jnp.stack(vj), jnp.stack(vi), Qc, Qc, Qc, Qc,
+        )

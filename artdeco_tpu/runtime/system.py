@@ -1,0 +1,268 @@
+"""End-to-end on-the-fly reconstruction system.
+
+Reference: ``run_system.py:70-343`` — there, three OS processes (frontend /
+backend / mapper) communicate through shared-memory queues with an optional
+hard-sync barrier (default ON via the store_false --sync_hard flag, making
+the pipeline effectively sequential per frame).  The TPU-native runtime is a
+single host process driving jitted stages in that same deterministic order,
+with a background image-prefetch thread replacing the duplicated per-process
+dataset decode (SURVEY.md §5 'process crossings').
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+from artdeco_tpu.geometry import lie
+from artdeco_tpu.mapper.config import MapperConfig
+from artdeco_tpu.mapper.keyframe import make_host_keyframe
+from artdeco_tpu.mapper.scene_model import SceneModel
+from artdeco_tpu.vslam.backend import Backend
+from artdeco_tpu.vslam.frontend import Frontend
+from artdeco_tpu.vslam.keyframes import KeyframeStore
+
+
+class Runtimes:
+    """Wall-clock stage counters (run_system.py:135-136, utils.py:112-115)."""
+
+    def __init__(self):
+        self.data: dict = {}
+
+    def add(self, key: str, dt: float):
+        acc = self.data.setdefault(key, [0.0, 0])
+        acc[0] += dt
+        acc[1] += 1
+
+    def summary(self) -> dict:
+        return {
+            k: 1000.0 * v[0] / max(v[1], 1) for k, v in self.data.items()
+        }
+
+
+class _Prefetcher:
+    """Background image decode thread (double-buffered getnext)."""
+
+    def __init__(self, dataset, depth: int = 4):
+        self.dataset = dataset
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.t = threading.Thread(target=self._run, daemon=True)
+        self.t.start()
+
+    def _run(self):
+        for i in range(len(self.dataset)):
+            self.q.put(self.dataset[i])
+        self.q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item
+
+
+class System:
+    """Single-host pipeline: track -> backend -> map, per frame."""
+
+    def __init__(self, args, config: dict, dataset, runner,
+                 mapper_cfg: Optional[MapperConfig] = None,
+                 retrieval=None):
+        self.args = args
+        self.config = config
+        self.dataset = dataset
+        self.keyframes = KeyframeStore(
+            dataset.H_slam, dataset.W_slam, K_slam=dataset.K_slam,
+        )
+        self.frontend = Frontend(args, config, dataset, self.keyframes, runner)
+        self.backend = Backend(args, config, dataset, self.keyframes, runner,
+                               retrieval=retrieval)
+        mcfg = mapper_cfg or MapperConfig(
+            sh_degree=getattr(args, "sh_degree", 3),
+            local_feat_dim=getattr(args, "local_feat_dim", 32),
+            global_feat_dim=getattr(args, "global_feat_dim", 32),
+            pyr_levels=getattr(args, "pyr_levels", 2),
+        )
+        self.scene_model = SceneModel(
+            dataset.W_map, dataset.H_map, dataset.K_map, mcfg,
+        )
+        self.mapper_cfg = mcfg
+        self.mapper_index = 0
+        self.related_frames: dict = {}   # slam kf index -> [mapper ids]
+        self.mapper_meta: list = []      # per mapper frame bookkeeping
+        self.runtimes = Runtimes()
+        self.start_time = None
+        self.n_frames = 0
+
+    # -- mapper message handling (run_system.py:143-271) -------------------
+    def _handle_mapper_msg(self, m: dict):
+        frame_id = m["frame_id"]
+        last_kf_index = m["last_keyframe_index"]
+        self.related_frames.setdefault(last_kf_index, []).append(
+            self.mapper_index
+        )
+        original_img, info = self.dataset[frame_id]
+        img_map = self.dataset.transform.to_map(original_img)
+
+        T_WC = np.asarray(m["T_WC"], np.float32)
+        Rt_w2c = np.asarray(
+            lie.se3_matrix(lie.se3_inv(np.asarray(T_WC[:7])))
+        )
+
+        kf = make_host_keyframe(
+            index=self.mapper_index,
+            global_frame_id=frame_id,
+            image=img_map,
+            point_map=m["point_map"],
+            point_conf=m["point_conf"],
+            is_test=m["is_test"],
+            is_slam_keyframe=m["is_slam_keyframe"],
+            pyr_levels=self.mapper_cfg.pyr_levels,
+            image_name=info.get("name", f"frame_{frame_id:06d}"),
+            timestamp=m["timestamp"],
+        )
+        self.mapper_meta.append(dict(
+            last_keyframe_index=last_kf_index,
+            is_slam_keyframe=m["is_slam_keyframe"],
+            T_CkC=m["T_CkC"],
+        ))
+
+        if m["is_slam_keyframe"] and frame_id > 0:
+            self._rigid_transform_scene()
+
+        self.scene_model.add_keyframe(kf, Rt_w2c)
+        if m["is_important"]:
+            self.scene_model.add_new_gaussians()
+        n_iters = (
+            getattr(self.args, "num_key_iterations", 30)
+            if m["is_important"]
+            else getattr(self.args, "num_common_iterations", 0)
+        )
+        if n_iters:
+            self.scene_model.optimization_loop(n_iters, m["is_important"])
+        self.mapper_index += 1
+
+    def _rigid_transform_scene(self):
+        """Propagate pose-graph updates into mapper poses + gaussians
+        (run_system.py:194-227)."""
+        n = len(self.scene_model.keyframes)
+        if n == 0:
+            return
+        cap = self.scene_model.cfg.keyframe_capacity
+        old_c2ws = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        new_c2ws = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        from artdeco_tpu.mapper import keyframe as KFmod
+
+        Rts = np.asarray(KFmod.get_all_Rt(self.scene_model.pool))
+        for mapper_id in range(n):
+            meta = self.mapper_meta[mapper_id]
+            slam_T = self.keyframes.T_WC[meta["last_keyframe_index"]]
+            if meta["is_slam_keyframe"]:
+                T_WCf7 = slam_T[:7]
+            else:
+                T_full = np.asarray(lie.sim3_mul(
+                    np.asarray(slam_T, np.float32),
+                    np.asarray(meta["T_CkC"], np.float32),
+                ))
+                T_WCf7 = T_full[:7]
+            new_Rt = np.asarray(lie.se3_matrix(lie.se3_inv(
+                np.asarray(T_WCf7, np.float32))))
+            old_Rt = Rts[mapper_id]
+            old_c2ws[mapper_id] = np.linalg.inv(old_Rt)
+            new_c2ws[mapper_id] = np.linalg.inv(new_Rt)
+            self.scene_model.set_keyframe_pose(mapper_id, new_Rt)
+        self.scene_model.rigid_transform_gs(old_c2ws, new_c2ws)
+
+    # -- main loop ----------------------------------------------------------
+    def run(self, max_frames: Optional[int] = None, progress: bool = True):
+        self.start_time = time.time()
+        it = _Prefetcher(self.dataset)
+        bar = None
+        if progress:
+            try:
+                from tqdm import tqdm
+
+                bar = tqdm(total=len(self.dataset), desc="artdeco-tpu")
+            except Exception:
+                bar = None
+        for original_image, info in it:
+            t0 = time.time()
+            msg = self.frontend.process_frame(original_image, info)
+            self.runtimes.add("track", time.time() - t0)
+            if msg is not None:
+                t0 = time.time()
+                mapper_msg = self.backend.process(msg)
+                self.runtimes.add("backend", time.time() - t0)
+                if mapper_msg is not None:
+                    t0 = time.time()
+                    self._handle_mapper_msg(mapper_msg)
+                    self.runtimes.add("map", time.time() - t0)
+            self.n_frames += 1
+            if bar is not None:
+                bar.update(1)
+                bar.set_postfix_str(
+                    f"kf={len(self.keyframes)} "
+                    f"gs={self.scene_model.n_active_gaussians} "
+                    f"lost={self.frontend.lost_number}",
+                    refresh=False,
+                )
+            if max_frames is not None and self.n_frames >= max_frames:
+                break
+        if bar is not None:
+            bar.close()
+        return self
+
+    # -- outputs (Frontend.sav_results + h3dgsv3 metadata) -------------------
+    def save(self, out_dir: str):
+        os.makedirs(out_dir, exist_ok=True)
+        slam_dir = os.path.join(out_dir, "slam")
+        os.makedirs(slam_dir, exist_ok=True)
+        from artdeco_tpu.dataio.tum_io import save_tum_trajectory
+
+        est = self.frontend.estimated_trajectory()
+        kf_traj = self.frontend.keyframe_trajectory()
+        if len(est):
+            save_tum_trajectory(
+                os.path.join(slam_dir, "frames.txt"), est[:, 0], est[:, 1:8]
+            )
+        if len(kf_traj):
+            save_tum_trajectory(
+                os.path.join(slam_dir, "keyframes.txt"),
+                kf_traj[:, 0], kf_traj[:, 1:8],
+            )
+        lost_pct = self.frontend.lost_number / max(len(self.dataset), 1)
+        with open(os.path.join(slam_dir, "lost_percentage.txt"), "w") as f:
+            f.write(str(lost_pct))
+        with open(os.path.join(slam_dir, "config.json"), "w") as f:
+            json.dump(self.config, f, indent=4, default=str)
+
+        gt = np.asarray(self.frontend.frames_Twc_gt)
+        eval_out = {}
+        if len(gt) > 2 and len(est) > 2:
+            from artdeco_tpu.eval.trajectory import evaluate_trajectory
+
+            eval_out = evaluate_trajectory(
+                slam_dir, "evaluate_frames.json", est, gt, max_dt=0.05
+            )
+
+        dt = time.time() - self.start_time if self.start_time else 0.0
+        metrics = self.scene_model.evaluate()
+        metadata = {
+            "time": dt,
+            "FPS": self.n_frames / max(dt, 1e-9),
+            "n_frames": self.n_frames,
+            "n_keyframes": len(self.keyframes),
+            "n_gaussians": int(self.scene_model.n_active_gaussians),
+            "runtimes_ms": self.runtimes.summary(),
+            "metrics": metrics,
+            "trajectory": eval_out,
+        }
+        with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=2, default=str)
+        return metadata

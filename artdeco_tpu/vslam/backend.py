@@ -1,0 +1,255 @@
+"""Backend: loop closure, global optimization, dense points for the mapper.
+
+Reference: ``VSLAM/Backend.py:12-326``.  Single process: ``process`` consumes
+a frontend message dict and returns the mapper message dict (the reference's
+queue_B2M payload built at Backend.py:118-147).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from artdeco_tpu.geometry import lie, projection as proj
+from artdeco_tpu.vslam.frame import Frame, KeyframeStyle
+from artdeco_tpu.vslam.global_opt import FactorGraph
+from artdeco_tpu.vslam.keyframes import KeyframeStore
+from artdeco_tpu.vslam.retrieval import RetrievalDatabase
+
+
+class Backend:
+    def __init__(self, args, config: dict, dataset,
+                 keyframes: KeyframeStore, runner,
+                 retrieval: Optional[RetrievalDatabase] = None):
+        self.args = args
+        self.config = config
+        self.dataset = dataset
+        self.keyframes = keyframes
+        self.runner = runner
+        self.H_slam, self.W_slam = dataset.H_slam, dataset.W_slam
+        self.K_slam = jnp.asarray(dataset.K_slam)
+        self.num_GBA = getattr(args, "num_GBA", 1)
+        self.factor_graph = FactorGraph(
+            config, runner, keyframes, dataset.K_slam,
+            (self.H_slam, self.W_slam),
+        )
+        self.retrieval = retrieval or RetrievalDatabase(config)
+        self.lost_mode = False
+
+    # -- message dispatch (Backend.py:48-115) -----------------------------
+    def process(self, msg: dict) -> Optional[dict]:
+        style = msg["keyframe_style"]
+        if style == int(KeyframeStyle.LOST):
+            frame = msg["frame"]
+            X, C, feat, pos = self.runner.inference_mono(frame.img)
+            frame = frame.update_pointmap(X[0], C[0]).update_pointmap(X[1], C[1])
+            success, lc_inds = self.relocalization(frame, feat, pos)
+            if not success:
+                return None
+            n_kf = len(self.keyframes)
+            keyframe = self.keyframes[n_kf - 1]
+            last_keyframe = self.keyframes[n_kf - 2] if n_kf > 1 else None
+            idx_k2l = None
+            if last_keyframe is not None:
+                ei = self.keyframes.get_embedding(n_kf - 1)
+                ej = self.keyframes.get_embedding(n_kf - 2)
+                out = self.runner.match_asymmetric(
+                    keyframe.img, last_keyframe.img,
+                    embeddings_i=ei, embeddings_j=ej,
+                )
+                idx_k2l = out[0]
+            return self.prepare_for_mapper(
+                keyframe, last_keyframe, n_kf - 1, idx_k2l,
+                is_test=msg["is_test"], is_important=msg["is_important"],
+                loop_keyframe_index=lc_inds, is_slam_keyframe=True,
+                focal=msg["focal"], timestamp=msg["timestamp"],
+            )
+        if style == int(KeyframeStyle.KEYFRAME):
+            lc_inds, idx_k2l, keyframe, last_keyframe = (
+                self.global_optimization(msg["keyframe_id"])
+            )
+            return self.prepare_for_mapper(
+                keyframe, last_keyframe, msg["keyframe_id"], idx_k2l,
+                is_test=msg["is_test"], is_important=msg["is_important"],
+                loop_keyframe_index=lc_inds, is_slam_keyframe=True,
+                focal=msg["focal"], timestamp=msg["timestamp"],
+            )
+        if style == int(KeyframeStyle.MAPPER_FRAME):
+            frame: Frame = msg["frame"]
+            kf_id = msg["keyframe_id"]
+            last_keyframe = self.keyframes[kf_id]
+            ej = self.keyframes.get_embedding(kf_id)
+            (idx_k2l, vml, Xkk, Ckk, Qkk, Xlk, Clk, Qlk, _, _) = (
+                self.runner.match_asymmetric(
+                    frame.img, last_keyframe.img, embeddings_j=ej,
+                )
+            )
+            frame = frame.update_pointmap(Xkk, Ckk)
+            return self.prepare_for_mapper(
+                frame, last_keyframe, kf_id, idx_k2l,
+                is_test=msg["is_test"], is_important=msg["is_important"],
+                focal=msg["focal"], timestamp=msg["timestamp"],
+            )
+        return None
+
+    # -- global optimization (Backend.py:196-265) --------------------------
+    def global_optimization(self, idx: int, n_consec: int = None):
+        n_consec = n_consec if n_consec is not None else self.num_GBA
+        keyframe = self.keyframes[idx]
+        last_keyframe = self.keyframes[idx - 1] if idx > 0 else None
+        idx_k2l = None
+        Xlk = Clk = None
+        if last_keyframe is not None:
+            ej = self.keyframes.get_embedding(idx - 1)
+            (idx_k2l, vml, Xkk, Ckk, Qkk, Xlk, Clk, Qlk, feat_k, pos_k) = (
+                self.runner.match_asymmetric(
+                    keyframe.img, last_keyframe.img, embeddings_j=ej,
+                )
+            )
+        else:
+            Xm, Cm, feat_k, pos_k = self.runner.inference_mono(keyframe.img)
+            Xkk, Ckk = Xm[0], Cm[0]
+        self.keyframes.put_embedding(idx, feat_k, pos_k)
+        keyframe = keyframe.update_pointmap(Xkk, Ckk)
+        self.keyframes[idx] = keyframe
+
+        # candidate edges: consecutive + retrieval (Backend.py:219-241)
+        kf_idx = [idx - 1 - j for j in range(min(n_consec, idx))]
+        retrieval_inds = self.retrieval.update(
+            np.asarray(feat_k[0]), add_after_query=True,
+            k=self.config["retrieval"]["k"],
+            min_thresh=self.config["retrieval"]["min_thresh"],
+        )
+        kf_idx += retrieval_inds
+        lc_inds = set(retrieval_inds)
+        lc_inds.add(idx)
+
+        kf_set = set(kf_idx)
+        kf_set.discard(idx)
+        kf_list = sorted(kf_set)
+        if kf_list:
+            self.factor_graph.add_factors(
+                kf_list, [idx] * len(kf_list),
+                self.config["local_opt"]["min_match_frac"],
+            )
+        self.factor_graph.solve_GN_calib()
+
+        # refresh last keyframe pointmap with cross-predicted points
+        keyframe = self.keyframes[idx]
+        last_keyframe = self.keyframes[idx - 1] if idx > 0 else None
+        if last_keyframe is not None and Xlk is not None:
+            T_WCk = jnp.asarray(self.keyframes.T_WC[idx])
+            T_WCl = jnp.asarray(self.keyframes.T_WC[idx - 1])
+            T_ClCk = lie.sim3_mul(lie.sim3_inv(T_WCl), T_WCk)
+            Xll = lie.sim3_act(T_ClCk, Xlk)
+            last_keyframe = last_keyframe.update_pointmap(Xll, Clk)
+            self.keyframes[idx - 1] = last_keyframe
+        return lc_inds, idx_k2l, keyframe, last_keyframe
+
+    # -- relocalization (Backend.py:269-325) --------------------------------
+    def relocalization(self, frame: Frame, feat, pos):
+        retrieval_inds = self.retrieval.update(
+            np.asarray(feat[0]), add_after_query=False,
+            k=self.config["retrieval"]["k"],
+            min_thresh=self.config["retrieval"]["min_thresh"],
+        )
+        if not retrieval_inds:
+            return False, set()
+        idx = self.keyframes.append(frame)
+        self.keyframes.put_embedding(idx, feat, pos)
+        ok = self.factor_graph.add_factors(
+            list(retrieval_inds), [idx] * len(retrieval_inds),
+            self.config["reloc"]["min_match_frac"],
+            is_reloc=self.config["reloc"]["strict"],
+        )
+        if not ok:
+            self.keyframes.pop_last()
+            return False, set()
+        self.retrieval.update(
+            np.asarray(feat[0]), add_after_query=True,
+            k=self.config["retrieval"]["k"],
+            min_thresh=self.config["retrieval"]["min_thresh"],
+        )
+        self.keyframes.T_WC[idx] = self.keyframes.T_WC[retrieval_inds[0]].copy()
+        self.factor_graph.solve_GN_calib()
+        return True, set(retrieval_inds)
+
+    # -- dense points for the mapper (Backend.py:150-193) -------------------
+    def compute_dense_point(self, keyframe: Frame, last_keyframe: Frame,
+                            idx_k2l, valid_pixel: float = 3.0):
+        H, W = self.H_slam, self.W_slam
+        idx = jnp.asarray(idx_k2l)[0]
+        Xkk = keyframe.X_canon
+        Twk = keyframe.T_WC
+        Twl = last_keyframe.T_WC
+        Tlk = lie.sim3_mul(lie.sim3_inv(Twl), Twk)
+
+        Xkk_calib = proj.constrain_points_to_ray((H, W), Xkk, self.K_slam)
+        Xkk_m = Xkk_calib[idx]
+        Xkl = lie.sim3_act(Tlk, Xkk_m)
+
+        # reprojection residual against the matched pixels in l
+        z = jnp.maximum(Xkl[:, 2:3], 1e-9)
+        u = self.K_slam[0, 0] * Xkl[:, 0:1] / z + self.K_slam[0, 2]
+        v = self.K_slam[1, 1] * Xkl[:, 1:2] / z + self.K_slam[1, 2]
+        uv = proj.get_pixel_coords((H, W))
+        resi = jnp.linalg.norm(
+            jnp.concatenate([u, v], -1) - uv, axis=-1
+        )
+        conf_valid = jnp.where(
+            resi < valid_pixel, 1.0, 1.0 / (resi - valid_pixel + 1.0)
+        )
+
+        # express matched points in the keyframe's SE(3) frame (scale-free
+        # map coordinates; Backend.py:173-178)
+        Xkw = lie.sim3_act(Twk, Xkk_m)
+        T_kw_se3 = lie.se3_inv(Twk[:7])
+        Xk_map_matched = lie.se3_act(T_kw_se3, Xkw)
+        Xk_map_default = lie.se3_act(T_kw_se3, lie.sim3_act(Twk, Xkk_calib))
+
+        # scatter back to keyframe pixel order (Backend.py:180-190)
+        point = jnp.asarray(Xk_map_default).at[idx].set(Xk_map_matched)
+        conf = jnp.zeros((H * W,)).at[idx].set(conf_valid)
+        return (
+            np.asarray(point).reshape(H, W, 3),
+            np.asarray(conf).reshape(H, W),
+        )
+
+    # -- mapper message (Backend.py:118-147) ---------------------------------
+    def prepare_for_mapper(self, keyframe: Frame, last_keyframe, kf_index,
+                           idx_k2l, is_test=False, is_important=False,
+                           loop_keyframe_index=None, is_slam_keyframe=False,
+                           focal=None, timestamp=0.0) -> dict:
+        if last_keyframe is None or idx_k2l is None:
+            X_init = keyframe.X_canon
+            point = np.asarray(
+                proj.constrain_points_to_ray(
+                    (self.H_slam, self.W_slam), X_init, self.K_slam
+                )
+            ).reshape(self.H_slam, self.W_slam, 3)
+            conf = (
+                np.asarray(keyframe.get_average_conf()) > 1.5
+            ).astype(np.float32).reshape(self.H_slam, self.W_slam)
+            T_CkC = None
+        else:
+            point, conf = self.compute_dense_point(keyframe, last_keyframe, idx_k2l)
+            T_CkC = np.asarray(lie.sim3_mul(
+                lie.sim3_inv(last_keyframe.T_WC), keyframe.T_WC
+            ))
+        return {
+            "is_test": is_test,
+            "is_important": is_important,
+            "T_WC": np.asarray(keyframe.T_WC),
+            "frame_id": keyframe.frame_id,
+            "timestamp": timestamp,
+            "point_map": point,
+            "point_conf": conf,
+            "is_slam_keyframe": is_slam_keyframe,
+            "loop_keyframe_index": loop_keyframe_index or set(),
+            "T_CkC": T_CkC,
+            "last_keyframe_index": kf_index,
+            "focal": focal,
+        }

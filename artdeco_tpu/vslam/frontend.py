@@ -1,0 +1,235 @@
+"""Frontend: per-frame tracking driver.
+
+Reference: ``VSLAM/Frontend.py:14-171`` + ``VSLAM/CameraTracker.py:19-157``
+(the host-level orchestration around the jitted tracker core).  Single
+process: instead of pushing to an IPC queue, ``process_frame`` returns the
+keyframe message dict for the backend.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from artdeco_tpu.geometry import lie
+from artdeco_tpu.vslam import tracker as trk
+from artdeco_tpu.vslam.frame import Frame, KeyframeStyle
+from artdeco_tpu.vslam.keyframes import KeyframeStore
+from artdeco_tpu.vslam.tracker import TrackingConfig
+
+
+class CameraTracker:
+    """Two-view tracking against the last keyframe (CameraTracker.py)."""
+
+    def __init__(self, config: dict, runner, keyframes: KeyframeStore,
+                 H_slam: int, W_slam: int, K_slam,
+                 min_displacement: float, thres_keyframe: float,
+                 optimize_focal: bool = False, covariance_filter: bool = False,
+                 point_fusion: bool = True):
+        self.config = config
+        self.cfg = TrackingConfig.from_dict(config["tracking"])
+        self.runner = runner
+        self.keyframes = keyframes
+        self.H_slam, self.W_slam = H_slam, W_slam
+        self.K_slam = jnp.asarray(K_slam)
+        self.min_displacement = min_displacement
+        self.thres_keyframe = thres_keyframe
+        self.optimize_focal = optimize_focal
+        self.covariance_filter = covariance_filter
+        self.point_fusion = point_fusion
+        self.idx_f2k = None
+        self.last_embedding = None
+        self.last_dist = 0.0
+
+    def track_init(self, frame: Frame):
+        X, C, feat, pos = self.runner.inference_mono(frame.img)
+        frame = frame.update_pointmap(X[0], C[0]).update_pointmap(X[1], C[1])
+        self.last_embedding = (feat, pos)
+        return frame, False, True, True
+
+    def track(self, frame: Frame):
+        """Returns (frame, lost, is_keyframe, is_keyframe_map)."""
+        if len(self.keyframes) == 0:
+            return self.track_init(frame)
+
+        kf_idx = self.keyframes.last_index()
+        keyframe = self.keyframes[kf_idx]
+        (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf, featf, posf
+         ) = self.runner.match_asymmetric(
+            frame.img, keyframe.img, idx_i2j_init=self.idx_f2k,
+            embeddings_j=self.last_embedding,
+        )
+        self.idx_f2k = idx_f2k
+        idx = idx_f2k[0]
+        vmk = valid_match_k[0]
+        Qk = jnp.sqrt(Qff[idx] * Qkf)
+
+        frame = frame.update_pointmap(Xff, Cff)
+
+        (Xf_m, Xf_cov, Xk, Xk_cov, Cf_m, Ck, meas_k, valid_meas_k) = (
+            trk.prep_track_measurements(
+                frame.X_canon, keyframe.X_canon, frame.get_average_conf(),
+                keyframe.get_average_conf(), idx, self.K_slam,
+                (self.H_slam, self.W_slam), depth_eps=self.cfg.depth_eps,
+            )
+        )
+
+        valid_Cf = Cf_m > self.cfg.C_conf
+        valid_Ck = Ck > self.cfg.C_conf
+        valid_Q = Qk > self.cfg.Q_conf
+        valid_opt = vmk & valid_Cf & valid_Ck & valid_Q
+        valid_kf = vmk & valid_Q
+
+        match_frac = float(valid_opt.mean())
+        if match_frac < self.cfg.min_match_frac:
+            return frame, True, False, False
+
+        T_WCf, T_CkCf, K_new, ok = trk.opt_pose_calib_sim3(
+            Xf_m, Xf_cov, Xk, frame.T_WC, keyframe.T_WC, Qk, valid_opt,
+            meas_k, valid_meas_k, idx, self.K_slam,
+            (self.H_slam, self.W_slam), self.cfg,
+            optimize_focal=self.optimize_focal,
+            covariance_filter=self.covariance_filter,
+        )
+        if not bool(ok):
+            return frame, True, False, False
+        if self.optimize_focal:
+            self.K_slam = K_new
+        frame = dataclasses.replace(frame, T_WC=lie.sim3_normalize(T_WCf))
+
+        if self.point_fusion:
+            # transform matched frame points into the keyframe and fuse
+            # (CameraTracker.py:136-141)
+            Xkk = lie.sim3_act(T_CkCf, Xkf)
+            keyframe = keyframe.update_pointmap(Xkk, Ckf)
+            self.keyframes[kf_idx] = keyframe
+
+        is_keyframe = bool(trk.check_keyframe(
+            idx, valid_kf[:, 0], vmk, self.cfg.match_frac_thresh
+        ))
+        if is_keyframe:
+            self.idx_f2k = None
+            self.last_embedding = (featf, posf)
+            is_keyframe_map = True
+            self.last_dist = 0.0
+        else:
+            is_km, dist = trk.check_keyframe_map(
+                idx, valid_opt, self.W_slam, self.H_slam,
+                self.thres_keyframe, jnp.asarray(self.last_dist),
+                self.min_displacement,
+            )
+            is_keyframe_map = bool(is_km)
+            if is_keyframe_map:
+                self.last_dist = float(dist)
+        return frame, False, is_keyframe, is_keyframe_map
+
+
+class Frontend:
+    """Per-frame driver producing backend messages (Frontend.py:55-135)."""
+
+    def __init__(self, args, config: dict, dataset, keyframes: KeyframeStore,
+                 runner):
+        self.args = args
+        self.config = config
+        self.dataset = dataset
+        self.keyframes = keyframes
+        self.runner = runner
+        min_disp = max(
+            getattr(args, "min_displacement", 0.03) * dataset.W_slam, 30
+        )
+        self.tracker = CameraTracker(
+            config, runner, keyframes,
+            dataset.H_slam, dataset.W_slam, dataset.K_slam,
+            min_displacement=min_disp,
+            thres_keyframe=getattr(args, "thres_keyframe", 0.8),
+            optimize_focal=getattr(args, "optimize_focal", False),
+            covariance_filter=getattr(args, "covariance_filter", False),
+            point_fusion=getattr(args, "point_fusion_frontend", True),
+        )
+        self.frames_info: list = []
+        self.frames_Twc_gt: list = []
+        self.lost_number = 0
+        self.last_T_WC = lie.sim3_identity()
+        self.frame_id = 0
+
+    def process_frame(self, original_image: np.ndarray, info: dict
+                      ) -> Optional[dict]:
+        """Track one frame; returns the F2B message dict or None."""
+        img_slam = jnp.asarray(self.dataset.transform.to_slam(original_image))
+        is_test = info.get("is_test", False)
+        timestamp = float(info.get("timestamp", self.frame_id))
+
+        if "Twc_gt" in info and info["Twc_gt"] is not None \
+                and np.all(np.isfinite(info["Twc_gt"])):
+            g = np.asarray(info["Twc_gt"], np.float64)
+            self.frames_Twc_gt.append([timestamp, *g.tolist()])
+
+        T_init = self.last_T_WC if self.frame_id > 0 else lie.sim3_identity()
+        frame = Frame.create(img_slam, frame_id=self.frame_id,
+                             frame_time=timestamp, T_WC=T_init)
+
+        frame, lost, is_kf, is_kf_map = self.tracker.track(frame)
+        if getattr(self.args, "use_same_set_of_keyframes", False):
+            is_kf = is_kf or is_kf_map
+
+        style = None
+        if lost:
+            self.lost_number += 1
+            style = KeyframeStyle.LOST
+        elif is_kf:
+            idx = self.keyframes.append(frame)
+            style = KeyframeStyle.KEYFRAME
+        elif is_kf_map or is_test or getattr(self.args, "use_all_frames", False):
+            kf = self.keyframes.last_keyframe()
+            self._store_rel(frame, self.keyframes.last_index(), kf)
+            style = KeyframeStyle.MAPPER_FRAME
+        else:
+            kf = self.keyframes.last_keyframe()
+            if kf is not None:
+                self._store_rel(frame, self.keyframes.last_index(), kf)
+
+        if not lost:
+            self.last_T_WC = frame.T_WC
+
+        self.frame_id += 1
+        if style is None:
+            return None
+        return {
+            "keyframe_style": int(style),
+            "is_important": bool(is_kf_map or is_test),
+            "is_test": bool(is_test),
+            "keyframe_id": self.keyframes.last_index(),
+            "frame_id": frame.frame_id,
+            "T_WC": np.asarray(frame.T_WC),
+            "timestamp": timestamp,
+            "focal": float(self.tracker.K_slam[0, 0]),
+            "frame": frame,   # in-process: pass the frame itself
+        }
+
+    def _store_rel(self, frame: Frame, kf_index: int, kf: Frame):
+        T_rel = lie.sim3_mul(lie.sim3_inv(kf.T_WC), frame.T_WC)
+        self.frames_info.append(
+            [frame.frame_id, frame.frame_time, kf_index, np.asarray(T_rel)]
+        )
+
+    # -- trajectories (Frontend.py:138-171) ------------------------------
+    def estimated_trajectory(self) -> np.ndarray:
+        """All tracked frames as [t, tx..qw] via keyframe-relative poses."""
+        rows = []
+        for fid, ts, kf_idx, T_rel in self.frames_info:
+            T_kf = jnp.asarray(self.keyframes.T_WC[kf_idx])
+            T = lie.sim3_mul(T_kf, jnp.asarray(T_rel))
+            rows.append([ts, *np.asarray(T[:7]).tolist()])
+        return np.asarray(rows) if rows else np.zeros((0, 8))
+
+    def keyframe_trajectory(self) -> np.ndarray:
+        rows = []
+        for i in range(len(self.keyframes)):
+            rows.append(
+                [float(self.keyframes.timestamp[i]),
+                 *self.keyframes.T_WC[i][:7].tolist()]
+            )
+        return np.asarray(rows) if rows else np.zeros((0, 8))

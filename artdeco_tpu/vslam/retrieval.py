@@ -101,11 +101,12 @@ class RetrievalDatabase:
     ):
         self.cfg = cfg["retrieval"]
         self.head = head or RetrievalHead()
-        if centroids is None:
-            rng = np.random.RandomState(seed)
-            centroids = rng.randn(num_centroids, feat_dim).astype(np.float32)
-            centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
-        self.centroids = np.asarray(centroids, np.float32)
+        self._seed = seed
+        self._num_centroids = num_centroids
+        # centroids lazily sized from the first features seen when not given
+        self.centroids = (
+            np.asarray(centroids, np.float32) if centroids is not None else None
+        )
         self.ma = multiple_assignment
         self.alpha = alpha
         self.sim_thresh = similarity_threshold
@@ -119,8 +120,15 @@ class RetrievalDatabase:
         self.max_window_number = 24
         self.accurate_loop_closure_number = 12
 
+    def _ensure_centroids(self, dim: int):
+        if self.centroids is None:
+            rng = np.random.RandomState(self._seed)
+            c = rng.randn(self._num_centroids, dim).astype(np.float32)
+            self.centroids = c / np.linalg.norm(c, axis=1, keepdims=True)
+
     # -- core ASMK math ----------------------------------------------------
     def _quantize(self, vecs: np.ndarray, k: int) -> np.ndarray:
+        self._ensure_centroids(vecs.shape[-1])
         d2 = (
             (vecs ** 2).sum(1)[:, None]
             + (self.centroids ** 2).sum(1)[None, :]
