@@ -777,3 +777,34 @@ class SceneModel:
             metrics = {}
         metrics["n_test_frames"] = n_test
         return metrics
+
+    # -- finetuning / inference (h3dgsv3.py:1229-1251, :1043-1049) -------
+    def finetune_epoch(self):
+        """Reset optimizer state + learning rates, then one pass of random
+        keyframe replay sized to the keyframe count."""
+        self.opt = G.create_opt_state(self.slab)
+        self.slab = dataclasses.replace(
+            self.slab,
+            xyz_lr=jnp.full((self.slab.capacity,), self.cfg.position_lr_init),
+        )
+        self.mlp_opt = {
+            n: adam.init_state(getattr(self.mlp, n))
+            for n in ("w1", "b1", "w2", "b2")
+        }
+        self.mlp_lr = jnp.asarray(self.cfg.mlp_cov_lr_init)
+        self.gfeat = GlobalFeats(
+            val=self.gfeat.val,
+            lr=jnp.full_like(self.gfeat.lr, self.cfg.feat_lr),
+            opt=adam.init_state(self.gfeat.val),
+        )
+        for _ in range(len(self.keyframes)):
+            self.optimization_step(finetuning=True)
+
+    def enable_inference_mode(self):
+        self.inference_mode = True
+
+    def save(self, path: str, reconstruction_time: float = 0.0,
+             n_frames: int = 0) -> dict:
+        from artdeco_tpu.mapper.scene_io import save_scene
+
+        return save_scene(self, path, reconstruction_time, n_frames)

@@ -252,7 +252,13 @@ class System:
             )
 
         dt = time.time() - self.start_time if self.start_time else 0.0
-        metrics = self.scene_model.evaluate()
+        # full scene export: gaussian PLY, xyz+RGB PLY, COLMAP model, TUM
+        # keyframe poses, pose frusta, test renders (h3dgsv3.save surface)
+        scene_metrics = self.scene_model.save(
+            out_dir, reconstruction_time=dt, n_frames=self.n_frames
+        )
+        metrics = {k: v for k, v in scene_metrics.items()
+                   if k in ("PSNR", "SSIM", "Render", "GS", "n_test_frames")}
         metadata = {
             "time": dt,
             "FPS": self.n_frames / max(dt, 1e-9),
@@ -263,6 +269,12 @@ class System:
             "metrics": metrics,
             "trajectory": eval_out,
         }
-        with open(os.path.join(out_dir, "metadata.json"), "w") as f:
+        with open(os.path.join(out_dir, "run_metadata.json"), "w") as f:
             json.dump(metadata, f, indent=2, default=str)
         return metadata
+
+    def finetune(self, n_epochs: int):
+        """Post-stream finetuning epochs (run_system.py:286-316)."""
+        self.scene_model.enable_inference_mode()
+        for _ in range(n_epochs):
+            self.scene_model.finetune_epoch()

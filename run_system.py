@@ -81,7 +81,23 @@ def main():
     from artdeco_tpu.runtime.system import System
 
     system = System(args, config, dataset, runner)
+
+    if args.viewer_mode == "web":
+        from artdeco_tpu.runtime.webviewer import WebViewer, serve_static_page
+
+        viewer = WebViewer(system.scene_model, ip=args.ip, port=args.port)
+        viewer.start_background()
+        static_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "artdeco_tpu", "runtime", "webviewer_static",
+        )
+        serve_static_page(args.ip, args.port + 1, static_dir)
+        print(f"web viewer: http://{args.ip}:{args.port + 1}/ "
+              f"(ws on :{args.port})")
+
     system.run()
+    for _ in getattr(args, "save_at_finetune_epoch", []) or []:
+        system.finetune(1)
 
     out_dir = args.model_path or "output"
     meta = system.save(out_dir)
