@@ -68,6 +68,28 @@ class _Prefetcher:
             yield item
 
 
+def make_native_prefetcher(dataset, ring_size: int = 8, n_threads: int = 4):
+    """Native C++ decode+resize pipeline when applicable (on-disk images,
+    no undistortion remap); returns None to fall back to the Python path."""
+    try:
+        from artdeco_tpu.runtime import native_loader
+
+        cam = dataset.transform
+        if (
+            not native_loader.native_available()
+            or cam.mapx is not None
+            or not getattr(dataset, "image_paths", None)
+            or not dataset.image_paths[0]
+        ):
+            return None
+        return native_loader.NativePrefetcher(
+            dataset.image_paths, cam, ring_size=ring_size,
+            n_threads=n_threads,
+        )
+    except Exception:
+        return None
+
+
 class System:
     """Single-host pipeline: track -> backend -> map, per frame."""
 
