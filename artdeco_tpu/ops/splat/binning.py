@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 TILE = 16    # pixels per tile side
-CHUNK = 256  # pair-slot alignment unit == compositor chunk size
+CHUNK = 128  # pair-slot alignment unit == compositor chunk size
 
 
 class TileBins(NamedTuple):

@@ -35,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE = 16
 PIX = TILE * TILE          # 256 pixels per tile
-CHUNK = 256                # pairs per inner step == slot alignment
+CHUNK = 128                # pairs per inner step == slot alignment (lane-aligned)
 D_PAIR = 16                # packed pair row count
 C_MAX = 8                  # output channel slots (colors + alpha)
 ALPHA_CLAMP = 0.999

@@ -75,11 +75,12 @@ def make_native_prefetcher(dataset, ring_size: int = 8, n_threads: int = 4):
         from artdeco_tpu.runtime import native_loader
 
         cam = dataset.transform
+        paths = getattr(dataset, "image_paths", None)
         if (
             not native_loader.native_available()
             or cam.mapx is not None
-            or not getattr(dataset, "image_paths", None)
-            or not dataset.image_paths[0]
+            or not paths
+            or not os.path.isfile(paths[0])
         ):
             return None
         return native_loader.NativePrefetcher(
@@ -121,6 +122,7 @@ class System:
         self.runtimes = Runtimes()
         self.start_time = None
         self.n_frames = 0
+        self._map_cache: dict = {}   # frame_id -> map-res image (native path)
 
     # -- mapper message handling (run_system.py:143-271) -------------------
     def _handle_mapper_msg(self, m: dict):
@@ -129,8 +131,13 @@ class System:
         self.related_frames.setdefault(last_kf_index, []).append(
             self.mapper_index
         )
-        original_img, info = self.dataset[frame_id]
-        img_map = self.dataset.transform.to_map(original_img)
+        if frame_id in self._map_cache:
+            img_map = self._map_cache.pop(frame_id)
+            info = dict(self.dataset.infos[
+                self.dataset.image_name_list[frame_id]])
+        else:
+            original_img, info = self.dataset[frame_id]
+            img_map = self.dataset.transform.to_map(original_img)
 
         T_WC = np.asarray(m["T_WC"], np.float32)
         Rt_w2c = np.asarray(
@@ -202,9 +209,24 @@ class System:
         self.scene_model.rigid_transform_gs(old_c2ws, new_c2ws)
 
     # -- main loop ----------------------------------------------------------
-    def run(self, max_frames: Optional[int] = None, progress: bool = True):
+    def run(self, max_frames: Optional[int] = None, progress: bool = True,
+            use_native_loader: bool = True):
         self.start_time = time.time()
-        it = _Prefetcher(self.dataset)
+        native = make_native_prefetcher(self.dataset) if use_native_loader else None
+        if native is not None:
+            def native_iter():
+                for i in range(len(self.dataset)):
+                    slam, mp = native.get()
+                    info = dict(self.dataset.infos[
+                        self.dataset.image_name_list[i]])
+                    if self.dataset.Twc_gt is not None:
+                        info["Twc_gt"] = self.dataset.Twc_gt[i]
+                    self._map_cache[i] = mp
+                    # frontend consumes the pre-transformed SLAM tensor
+                    yield ("native", slam), info
+            it = native_iter()
+        else:
+            it = _Prefetcher(self.dataset)
         bar = None
         if progress:
             try:

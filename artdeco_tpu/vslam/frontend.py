@@ -155,10 +155,17 @@ class Frontend:
         self.last_T_WC = lie.sim3_identity()
         self.frame_id = 0
 
-    def process_frame(self, original_image: np.ndarray, info: dict
-                      ) -> Optional[dict]:
-        """Track one frame; returns the F2B message dict or None."""
-        img_slam = jnp.asarray(self.dataset.transform.to_slam(original_image))
+    def process_frame(self, original_image, info: dict) -> Optional[dict]:
+        """Track one frame; returns the F2B message dict or None.
+
+        original_image: (H, W, 3) raw frame, or ("native", slam_chw) when the
+        native loader already produced the SLAM-resolution tensor."""
+        if isinstance(original_image, tuple) and original_image[0] == "native":
+            img_slam = jnp.asarray(original_image[1])
+        else:
+            img_slam = jnp.asarray(
+                self.dataset.transform.to_slam(original_image)
+            )
         is_test = info.get("is_test", False)
         timestamp = float(info.get("timestamp", self.frame_id))
 
