@@ -29,7 +29,7 @@ class RasterMeta(NamedTuple):
     jax.jit,
     static_argnames=(
         "width", "height", "sh_degree", "render_mode", "eps2d", "near_plane",
-        "far_plane", "radius_clip", "antialiased", "kx", "ky",
+        "far_plane", "radius_clip", "antialiased", "kx", "ky", "frustum_hw",
     ),
 )
 def rasterization(
@@ -52,6 +52,7 @@ def rasterization(
     kx: int = 4,
     ky: int = 4,
     valid_mask: Optional[jax.Array] = None,
+    frustum_hw: Optional[tuple] = None,
 ):
     """Returns (render (H, W, C), alpha (H, W, 1), meta).
 
@@ -62,6 +63,7 @@ def rasterization(
         means, quats, scales, viewmat, K, width, height,
         eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
         antialiased=antialiased, radius_clip=radius_clip,
+        frustum_hw=frustum_hw,
     )
     if valid_mask is not None:
         # external culling (active/LOD masks) without boolean indexing:

@@ -69,7 +69,13 @@ def project_gaussians(
     far_plane: float = 1e10,
     antialiased: bool = False,
     radius_clip: float = 0.0,
+    frustum_hw: tuple | None = None,
 ) -> Projected:
+    # frustum_hw: (H, W) used ONLY for the EWA Jacobian frustum clamp.  Row-
+    # strip sharded rendering (parallel/splats.py) renders a strip with a
+    # shifted principal point; the clamp must still use the FULL image
+    # frustum or per-gaussian covariances would differ between the strip and
+    # single-chip renders near strip borders.
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
     p_cam = means @ R.T + t
@@ -87,8 +93,9 @@ def project_gaussians(
     # Formulated as pure elementwise math: with M = R(q) diag(s),
     # u = M^T a = s * R(q)^-1 a, so cov2d[ij] = <u_i, u_j> with no per-
     # gaussian matmuls (those lower to pathological tiny batched dots).
-    tan_x = 0.5 * width / fx
-    tan_y = 0.5 * height / fy
+    f_h, f_w = frustum_hw if frustum_hw is not None else (height, width)
+    tan_x = 0.5 * f_w / fx
+    tan_y = 0.5 * f_h / fy
     lim_x = 1.3 * tan_x
     lim_y = 1.3 * tan_y
     tx = z_safe * jnp.clip(p_cam[..., 0] / z_safe, -lim_x, lim_x)

@@ -6,7 +6,11 @@ multi-chip dry-run contract.
 
 import os
 
-# NOTE: a sitecustomize (PYTHONPATH) pre-sets JAX_PLATFORMS=axon; override it.
+# NOTE: a sitecustomize pre-imports jax and registers the axon TPU plugin
+# BEFORE this file runs, so JAX_PLATFORMS in os.environ is read too early to
+# matter.  jax.config.update("jax_platforms", ...) below is what actually
+# forces CPU.  XLA_FLAGS is still read lazily at first backend init, so
+# setting it here works as long as no test touched a device yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -16,6 +20,7 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Keep matmuls in full f32 for numerical golden tests.
 jax.config.update("jax_default_matmul_precision", "highest")
