@@ -84,12 +84,24 @@ def prep_for_iter_proj(X11: jax.Array, X21: jax.Array, idx_1_to_2_init):
     """
     b, h, w, _ = X11.shape
     rays = X11 / jnp.linalg.norm(X11, axis=-1, keepdims=True)
-    rays_chw = jnp.moveaxis(rays, -1, 1)  # (b,3,h,w)
-    gx, gy = img_gradient(rays_chw)
-    rays_with_grad = jnp.concatenate(
-        [rays_chw, gx, gy], axis=1
-    )  # (b,9,h,w)
-    rays_with_grad = jnp.moveaxis(rays_with_grad, 1, -1)  # (b,h,w,9)
+    # channels-LAST gradients: moveaxis to NCHW and back forces XLA relayouts
+    # of a minor-dim-3 array, which cost ~100ms at 512x384 on TPU
+    p = jnp.pad(rays, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+
+    def sh(dy, dx):
+        return p[:, 1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w, :]
+
+    gx = (
+        3.0 * (sh(-1, 1) - sh(-1, -1))
+        + 10.0 * (sh(0, 1) - sh(0, -1))
+        + 3.0 * (sh(1, 1) - sh(1, -1))
+    ) / 32.0
+    gy = (
+        3.0 * (sh(1, -1) - sh(-1, -1))
+        + 10.0 * (sh(1, 0) - sh(-1, 0))
+        + 3.0 * (sh(1, 1) - sh(-1, 1))
+    ) / 32.0
+    rays_with_grad = jnp.concatenate([rays, gx, gy], axis=-1)  # (b,h,w,9)
 
     X21_vec = X21.reshape(b, h * w, 3)
     pts3d_norm = X21_vec / jnp.linalg.norm(X21_vec, axis=-1, keepdims=True)
@@ -104,25 +116,58 @@ def prep_for_iter_proj(X11: jax.Array, X21: jax.Array, idx_1_to_2_init):
 # iter_proj — vectorized per-pixel 2-DoF LM (matching_kernels.cu:119-275)
 # ---------------------------------------------------------------------------
 
-def _bilinear_gather(img_flat: jax.Array, u: jax.Array, v: jax.Array, h: int, w: int):
-    """Bilinear sample of a (h*w, c) flattened image at float coords.
+def _pack_corners(img_flat: jax.Array, w: int) -> jax.Array:
+    """(h*w, c) -> (h*w, 4c) rows [img[i], img[i+1], img[i+w], img[i+w+1]].
 
-    Uses the reference's corner/weight pairing (matching_kernels.cu:155-183):
-    weights computed from (du, dv) pair with pixels at the OPPOSITE corner.
-    Assumes u in [1, w-2], v in [1, h-2] so all four taps are in-bounds.
+    TPU gathers pay per ROW fetched (a full lane-line regardless of row
+    width), so packing all four bilinear taps into one row makes each LM
+    step one gather instead of four.  Rolls wrap at the bottom edge, but
+    sample coords are clipped to [1, h-2] so wrapped rows are never hit.
     """
+    s1 = jnp.roll(img_flat, -1, axis=0)
+    sw = jnp.roll(img_flat, -w, axis=0)
+    sw1 = jnp.roll(img_flat, -w - 1, axis=0)
+    return jnp.concatenate([img_flat, s1, sw, sw1], axis=-1)
+
+
+def _bilinear_weights(u: jax.Array, v: jax.Array):
+    """Reference corner/weight pairing (matching_kernels.cu:155-183):
+    weights computed from (du, dv) pair with pixels at the OPPOSITE corner."""
     u11 = jnp.floor(u)
     v11 = jnp.floor(v)
     du = u - u11
     dv = v - v11
     iu = u11.astype(jnp.int32)
     iv = v11.astype(jnp.int32)
-
     w11 = (du * dv)[:, None]          # pairs with (v+1, u+1)
     w12 = ((1.0 - du) * dv)[:, None]  # pairs with (v+1, u)
     w21 = (du * (1.0 - dv))[:, None]  # pairs with (v, u+1)
     w22 = ((1.0 - du) * (1.0 - dv))[:, None]  # pairs with (v, u)
+    return iu, iv, w11, w12, w21, w22
 
+
+def _bilinear_gather_packed(packed: jax.Array, c: int, u, v, w: int,
+                            lo: int = 0, hi: int | None = None):
+    """One-gather bilinear sample from a _pack_corners array.
+
+    c = channel count of the original image; lo:hi selects a channel
+    sub-range (e.g. rays only).  Returns (n, hi-lo).
+    """
+    if hi is None:
+        hi = c
+    iu, iv, w11, w12, w21, w22 = _bilinear_weights(u, v)
+    smp = jnp.take(packed, iv * w + iu, axis=0)  # (n, 4c)
+    r22 = smp[:, lo:hi]
+    r21 = smp[:, c + lo : c + hi]
+    r12 = smp[:, 2 * c + lo : 2 * c + hi]
+    r11 = smp[:, 3 * c + lo : 3 * c + hi]
+    return w11 * r11 + w12 * r12 + w21 * r21 + w22 * r22
+
+
+def _bilinear_gather(img_flat: jax.Array, u: jax.Array, v: jax.Array, h: int, w: int):
+    """Four-gather bilinear sample of a (h*w, c) flattened image (kept for
+    one-shot callers; the LM loop uses the packed single-gather variant)."""
+    iu, iv, w11, w12, w21, w22 = _bilinear_weights(u, v)
     base = iv * w + iu
     r22 = jnp.take(img_flat, base, axis=0)
     r21 = jnp.take(img_flat, base + 1, axis=0)
@@ -141,6 +186,7 @@ def _iter_proj_single(
 ):
     h, w, _ = rays_img.shape
     img_flat = rays_img.reshape(h * w, 9)
+    packed = _pack_corners(img_flat, w)  # (h*w, 36): all 4 taps per row
 
     u0 = jnp.clip(p_init[:, 0], 1.0, w - 2.0)
     v0 = jnp.clip(p_init[:, 1], 1.0, h - 2.0)
@@ -148,14 +194,14 @@ def _iter_proj_single(
     conv0 = jnp.zeros(u0.shape, dtype=bool)
 
     def ray_cost(u, v):
-        r = _bilinear_gather(img_flat[:, :3], u, v, h, w)
+        r = _bilinear_gather_packed(packed, 9, u, v, w, 0, 3)
         r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
         err = r - pts3d_norm
         return jnp.sum(err * err, axis=-1), err
 
     def body(_, carry):
         u, v, lam, conv = carry
-        smp = _bilinear_gather(img_flat, u, v, h, w)  # (n, 9)
+        smp = _bilinear_gather_packed(packed, 9, u, v, w)  # (n, 9)
         r, gx, gy = smp[:, 0:3], smp[:, 3:6], smp[:, 6:9]
         r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
         err = r - pts3d_norm
@@ -223,9 +269,25 @@ def _refine_single(
     p1: jax.Array,  # (n, 2) int
     radius: int,
     dilation_max: int,
+    compute_dtype=None,
 ):
+    """TPU gather-granularity trick: per-pixel descriptor lookups at the 81
+    window offsets are tiny (f*4 = 96B) random rows, which gather at a few
+    percent of HBM bandwidth.  But for a FIXED offset the lookup over all
+    pixels is just a statically shifted image, so we zero-pad D11, take the
+    span static slices for one u-offset column, concatenate them channel-wise
+    and do ONE wide-row gather (span*f floats per row) at the per-pixel match
+    positions.  Zero padding reproduces the CUDA kernel's ``inside`` mask for
+    free: out-of-image offsets score exactly 0.0, which can never exceed the
+    +FLT_MIN-initialized running max (matching_kernels.cu:26-81).
+    """
     h, w, f = D11.shape
-    D11_flat = D11.reshape(h * w, f)
+    if compute_dtype is not None:
+        # the search is HBM-bound (405 window offsets x n pixels x f floats);
+        # bf16 halves gather traffic.  Scores accumulate in f32; only near-tie
+        # argmax picks can flip, which are equivalent-quality matches.
+        D11 = D11.astype(compute_dtype)
+        D21 = D21.astype(compute_dtype)
     u0 = p1[:, 0].astype(jnp.int32)
     v0 = p1[:, 1].astype(jnp.int32)
 
@@ -238,17 +300,31 @@ def _refine_single(
     span = 2 * radius + 1
     for d in range(dilation_max, 0, -1):
         rd = radius * d
+        P = jnp.pad(D11, ((rd, rd), (rd, rd), (0, 0)))
+        lin0 = v0 * w + u0  # original-grid rows of the shifted stacks
         # iteration order i (u) outer, j (v) inner; strict > keeps first max
         for i in range(span):
+            du = -rd + i * d
+            # shifted-image stack for this u-offset column: (h*w, span*f)
+            stack = jnp.concatenate(
+                [
+                    # row start = (dv + rd) = j*d, col start = (du + rd)
+                    P[j * d : j * d + h, rd + du : rd + du + w]
+                    for j in range(span)
+                ],
+                axis=-1,
+            ).reshape(h * w, span * f)
+            feats = jnp.take(stack, lin0, axis=0).reshape(-1, span, f)
+            scores = jnp.einsum(
+                "njf,nf->nj", feats, D21,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             for j in range(span):
-                u = u0 - rd + i * d
+                u = u0 + du
                 v = v0 - rd + j * d
-                inside = (u >= 0) & (u < w) & (v >= 0) & (v < h)
-                idx = jnp.clip(v, 0, h - 1) * w + jnp.clip(u, 0, w - 1)
-                feats = jnp.take(D11_flat, idx, axis=0)
-                score = jnp.sum(D21 * feats, axis=-1).astype(jnp.float32)
-                upd = inside & (score > max_score)
-                max_score = jnp.where(upd, score, max_score)
+                upd = scores[:, j] > max_score
+                max_score = jnp.where(upd, scores[:, j], max_score)
                 u_new = jnp.where(upd, u, u_new)
                 v_new = jnp.where(upd, v, v_new)
         u0, v0 = u_new, v_new
@@ -256,17 +332,25 @@ def _refine_single(
     return jnp.stack([u_new, v_new], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("radius", "dilation_max"))
+@partial(jax.jit, static_argnames=("radius", "dilation_max", "compute_dtype"))
 def refine_matches(
     D11: jax.Array,  # (b, h, w, f) descriptors of frame 1
     D21: jax.Array,  # (b, n, f) descriptors of frame 2 (flattened)
     p1: jax.Array,  # (b, n, 2) int matches into frame 1
     radius: int = 3,
     dilation_max: int = 1,
+    compute_dtype=None,
 ):
-    """Coarse-to-fine local descriptor search around current matches."""
-    fn = partial(_refine_single, radius=radius, dilation_max=dilation_max)
-    return jax.vmap(fn)(D11, D21, p1)
+    """Coarse-to-fine local descriptor search around current matches.
+
+    lax.map (not vmap) over the batch: each sample materializes ~span*f
+    channel shifted stacks; batching them multiplies that transient by b.
+    """
+    fn = partial(_refine_single, radius=radius, dilation_max=dilation_max,
+                 compute_dtype=compute_dtype)
+    if D11.shape[0] == 1:
+        return fn(D11[0], D21[0], p1[0])[None]
+    return jax.lax.map(lambda t: fn(*t), (D11, D21, p1))
 
 
 # ---------------------------------------------------------------------------
@@ -277,12 +361,13 @@ def refine_matches(
     jax.jit,
     static_argnames=(
         "max_iter", "lambda_init", "cost_thresh", "dist_thresh",
-        "radius", "dilation_max",
+        "radius", "dilation_max", "refine_dtype",
     ),
 )
 def _match_cascade(
     X11, X21, D11, D21, idx_1_to_2_init,
     *, max_iter, lambda_init, cost_thresh, dist_thresh, radius, dilation_max,
+    refine_dtype=None,
 ):
     """One fused jit for the whole cascade.  The glue between the stages
     (gathers, norms, reshapes) is tiny, but run eagerly each op is a separate
@@ -317,6 +402,7 @@ def _match_cascade(
             p1,
             radius=radius,
             dilation_max=dilation_max,
+            compute_dtype=refine_dtype,
         )
 
     idx_1_to_2 = pixel_to_lin(p1, w)
@@ -346,6 +432,9 @@ def match_iterative_proj(
         dist_thresh=float(cfg["dist_thresh"]),
         radius=int(cfg["radius"]) if D11 is not None else 0,
         dilation_max=int(cfg["dilation_max"]),
+        # bf16 descriptor search by default: halves the HBM-bound gather
+        # traffic; pass refine_dtype=None in cfg for the exact f32 path.
+        refine_dtype=cfg.get("refine_dtype", "bfloat16"),
     )
 
 
