@@ -226,7 +226,8 @@ def read_colmap_model(model_dir: str):
 # ---------------------------------------------------------------------------
 
 def save_scene(scene_model, path: str, reconstruction_time: float = 0.0,
-               n_frames: int = 0, save_renders: bool = True) -> dict:
+               n_frames: int = 0, save_renders: bool = True,
+               with_lpips: bool = True) -> dict:
     import jax.numpy as jnp
 
     from artdeco_tpu.mapper import keyframe as KFmod
@@ -239,7 +240,7 @@ def save_scene(scene_model, path: str, reconstruction_time: float = 0.0,
         metrics["time"] = reconstruction_time
         if n_frames > 0:
             metrics["FPS"] = n_frames / reconstruction_time
-    metrics.update(scene_model.evaluate())
+    metrics.update(scene_model.evaluate(with_lpips=with_lpips))
 
     if not path:
         return metrics

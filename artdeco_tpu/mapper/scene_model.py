@@ -513,6 +513,7 @@ class SceneModel:
         self.metrics_history: list[dict] = []
         self._np_rng = np.random.RandomState(seed)
         self._dev_cache: dict = {}       # (kf_idx, lvl) -> (gt, mono) on device
+        self._active_ids: list[int] = []  # keyframes resident on device
         self._has_gaussians = False      # host-tracked, avoids per-step sync
 
     # -- properties ------------------------------------------------------
@@ -551,6 +552,21 @@ class SceneModel:
             while len(self.keyframes) <= idx:
                 self.keyframes.append(None)
             self.keyframes[idx] = kf
+        if idx not in self._active_ids:
+            self._active_ids.append(idx)
+        self._enforce_active_cap()
+
+    def _enforce_active_cap(self):
+        """Bound device-resident keyframes at ``max_active_keyframes`` by
+        randomly offloading an older one to host (the host copies always live
+        in ``self.keyframes``) — reference h3dgsv3.py:1025-1041."""
+        cap = self.cfg.max_active_keyframes
+        while len(self._active_ids) > max(cap, 1):
+            # never evict the newest keyframe (it is the replay anchor)
+            j = int(self._np_rng.randint(0, len(self._active_ids) - 1))
+            evicted = self._active_ids.pop(j)
+            for lvl in range(self.cfg.pyr_levels):
+                self._dev_cache.pop((evicted, lvl), None)
 
     def set_keyframe_pose(self, idx: int, Rt_w2c: np.ndarray):
         Rt = jnp.asarray(Rt_w2c, jnp.float32)
@@ -577,6 +593,10 @@ class SceneModel:
 
     # -- training --------------------------------------------------------
     def get_training_id(self) -> int:
+        # sample only from the device-resident active subset
+        if self._active_ids:
+            return int(self._active_ids[
+                self._np_rng.randint(0, len(self._active_ids))])
         return int(self._np_rng.randint(0, len(self.keyframes)))
 
     def _device_kf(self, keyframe_id: int, lvl: int):
@@ -759,7 +779,13 @@ class SceneModel:
     def evaluate(self, with_lpips: bool = False):
         self.harmonize_test_exposure()
         metrics = {"PSNR": 0.0, "SSIM": 0.0, "Render": 0.0, "GS": 0.0}
+        if with_lpips:
+            from artdeco_tpu.eval.lpips import get_default_lpips
+
+            lpips_fn = get_default_lpips()
+            metrics["LPIPS"] = 0.0
         n_test = 0
+        n_active = float(self.slab.num_active())  # actual count, not capacity
         for kf in self.keyframes:
             if kf is None or not kf.is_test:
                 continue
@@ -768,8 +794,10 @@ class SceneModel:
             img = pkg["render"]
             metrics["PSNR"] += float(losses.psnr(img, gt))
             metrics["SSIM"] += float(fused_ssim(img, gt))
+            if with_lpips:
+                metrics["LPIPS"] += float(lpips_fn(img, gt))
             metrics["Render"] += float(jnp.sum(pkg["visibility"]))
-            metrics["GS"] += float(self.slab.capacity)
+            metrics["GS"] += n_active
             n_test += 1
         if n_test:
             metrics = {k: v / n_test for k, v in metrics.items()}

@@ -221,7 +221,11 @@ class System:
                         self.dataset.image_name_list[i]])
                     if self.dataset.Twc_gt is not None:
                         info["Twc_gt"] = self.dataset.Twc_gt[i]
-                    self._map_cache[i] = mp
+                    # keep ONLY the latest frame's map-res tensor: mapper
+                    # messages refer to the current frame (the pipeline is
+                    # sequential per frame), and a dict keyed by frame id
+                    # would grow ~3.7 MB/frame without bound
+                    self._map_cache = {i: mp}
                     # frontend consumes the pre-transformed SLAM tensor
                     yield ("native", slam), info
             it = native_iter()

@@ -253,7 +253,12 @@ struct Prefetcher {
             if (stop.load()) break;
             Image img = decode_file(paths[job].c_str());
             if (!img.ok) {
-                slot.state.store(2);
+                {
+                    // hold mu so the store can't land between a waiter's
+                    // predicate check and its re-block (lost wakeup)
+                    std::lock_guard<std::mutex> lk(mu);
+                    slot.state.store(2);
+                }
                 cv.notify_all();
                 continue;
             }
@@ -273,7 +278,10 @@ struct Prefetcher {
                        map_w, map_h);
             hwc_to_chw(hwc_map.data(), slot.map.data(), map_w, map_h,
                        1.0f / 255.0f, 0.0f);
-            slot.state.store(1);
+            {
+                std::lock_guard<std::mutex> lk(mu);
+                slot.state.store(1);
+            }
             cv.notify_all();
         }
     }
@@ -320,15 +328,21 @@ int prefetcher_get(void* handle, int idx, float* slam_out, float* map_out) {
         memcpy(slam_out, slot.slam.data(), slot.slam.size() * sizeof(float));
         memcpy(map_out, slot.map.data(), slot.map.size() * sizeof(float));
     }
-    slot.state.store(0);
-    p->consumed.fetch_add(1);
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        slot.state.store(0);
+        p->consumed.fetch_add(1);
+    }
     p->cv.notify_all();
     return st == 1 ? 1 : 0;
 }
 
 void prefetcher_destroy(void* handle) {
     auto* p = static_cast<Prefetcher*>(handle);
-    p->stop.store(true);
+    {
+        std::lock_guard<std::mutex> lk(p->mu);
+        p->stop.store(true);
+    }
     p->cv.notify_all();
     for (auto& t : p->workers) t.join();
     delete p;

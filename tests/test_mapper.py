@@ -182,3 +182,27 @@ def test_scene_model_eval_with_test_frame():
     m = sm.evaluate()
     assert m["n_test_frames"] == 1
     assert np.isfinite(m["PSNR"])
+
+
+def test_max_active_keyframes_bounds_device_residency():
+    """Streaming more keyframes than the cap must keep the device cache and
+    the training-id sample set bounded (reference h3dgsv3.py:1025-1041)."""
+    cap = 4
+    cfg = CFG._replace(max_active_keyframes=cap)
+    sm = SceneModel(W, H, K, cfg, seed=0)
+    n_stream = 12
+    for i in range(n_stream):
+        kf, Rt = _plane_keyframe(i, t_x=0.02 * i)
+        sm.add_keyframe(kf, Rt)
+        if i == 0:
+            sm.add_new_gaussians(0)
+        sm.optimization_loop(2)
+    assert len(sm.keyframes) == n_stream          # host copies all kept
+    assert len(sm._active_ids) <= cap             # device residency bounded
+    assert (n_stream - 1) in sm._active_ids       # newest never evicted
+    # dev cache only holds active entries
+    cached_ids = {k[0] for k in sm._dev_cache}
+    assert cached_ids <= set(sm._active_ids)
+    # training keeps sampling from the active subset only
+    ids = {sm.get_training_id() for _ in range(50)}
+    assert ids <= set(sm._active_ids)
