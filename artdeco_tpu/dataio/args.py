@@ -77,6 +77,13 @@ def get_args(argv=None):
     p.add_argument("--init_fov", type=float, default=-1.0)
     p.add_argument("--checkpoint_path", type=str,
                    default="./models/mast3r_vit_large.safetensors")
+    # retrieval head + codebook (utils_mast3r.py:20-28 default path) and Pi3
+    # weights for accurate loop closure (retrieval_database.py:169)
+    p.add_argument("--retrieval_checkpoint_path", type=str,
+                   default="./models/MASt3R_ViTLarge_BaseDecoder_512_"
+                           "catmlpdpt_metric_retrieval_trainingfree.pth")
+    p.add_argument("--pi3_checkpoint_path", type=str,
+                   default="./models/model.safetensors")
     p.add_argument("--sh_degree", type=int, default=3)
     p.add_argument("--local_feat_dim", type=int, default=32)
     p.add_argument("--global_feat_dim", type=int, default=32)

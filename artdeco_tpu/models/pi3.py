@@ -152,8 +152,10 @@ class DinoV2Encoder(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02),
                          (1, base * base, c.enc_embed_dim))
         pos_grid = pos.reshape(1, base, base, c.enc_embed_dim)
+        # bicubic to match DINOv2's interpolate_pos_encoding
+        # (dinov2/models/vision_transformer.py:181-210, mode="bicubic")
         pos_resized = jax.image.resize(
-            pos_grid, (1, nh, nw, c.enc_embed_dim), "bilinear"
+            pos_grid, (1, nh, nw, c.enc_embed_dim), "cubic"
         ).reshape(1, nh * nw, c.enc_embed_dim)
         x = x + pos_resized.astype(x.dtype)
 
@@ -305,3 +307,53 @@ class Pi3(nn.Module):
 
         return dict(points=points, local_points=local_points, conf=conf,
                     camera_poses=camera_poses)
+
+
+def load_pi3_apply(checkpoint_path: str = "", full: bool = True,
+                   params=None, seed: int = 0):
+    """Build a jitted Pi3 forward ``apply(imgs (1,N,3,H,W)) -> dict``.
+
+    Loads the released safetensors/torch weights when ``checkpoint_path``
+    exists (reference: ``retrieval_database.py:168-170``); otherwise falls
+    back to random init (tiny config unless ``full``) so the accurate-LC
+    code path stays executable without weights.  Returns
+    ``(apply, resize_hw)`` where resize_hw is the joint-inference resolution
+    (392x518 at full size, retrieval_database.py:265-276).
+    """
+    import os
+
+    import numpy as np
+
+    cfg = Pi3Config() if full else tiny_pi3_config()
+    resize_hw = (392, 518) if full else (112, 140)
+    model = Pi3(cfg)
+    if params is None and checkpoint_path and os.path.isfile(checkpoint_path):
+        from artdeco_tpu.models.convert_pi3 import convert_pi3_state_dict
+
+        if checkpoint_path.endswith(".safetensors"):
+            from safetensors.numpy import load_file
+
+            sd = load_file(checkpoint_path)
+        else:
+            import torch
+
+            ckpt = torch.load(checkpoint_path, map_location="cpu",
+                              weights_only=False)
+            sd = ckpt.get("model", ckpt)
+        params = convert_pi3_state_dict(sd, cfg)
+        print(f"loaded Pi3 weights from {checkpoint_path}")
+    if params is None:
+        h, w = resize_hw
+        params = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 1, 3, (h // cfg.patch_size) * cfg.patch_size,
+                       (w // cfg.patch_size) * cfg.patch_size)),
+        )
+        print("WARNING: no Pi3 checkpoint; accurate loop closure runs with "
+              "random weights (verification will be meaningless)")
+
+    @jax.jit
+    def apply(imgs):
+        return model.apply(params, imgs)
+
+    return apply, resize_hw

@@ -104,6 +104,10 @@ class System:
             dataset.H_slam, dataset.W_slam, K_slam=dataset.K_slam,
         )
         self.frontend = Frontend(args, config, dataset, self.keyframes, runner)
+        if retrieval is None:
+            from artdeco_tpu.vslam.retrieval import build_retrieval_database
+
+            retrieval = build_retrieval_database(args, config, self.keyframes)
         self.backend = Backend(args, config, dataset, self.keyframes, runner,
                                retrieval=retrieval)
         mcfg = mapper_cfg or MapperConfig(

@@ -23,6 +23,7 @@ def make_pi3_accurate_matcher(
     match_cfg: dict,
     resize_hw=(392, 518),
     chunk_size: int = 32,
+    pad_to: int = 24,          # max_window_number: one static jit shape
 ):
     """Returns accurate_matcher(candidate_ids, query_id) -> match fractions,
     pluggable into RetrievalDatabase."""
@@ -38,19 +39,29 @@ def make_pi3_accurate_matcher(
     def matcher(candidate_ids, query_id):
         idxs_all = list(candidate_ids) + [query_id]
         imgs = np.stack([resize(keyframes.img[i]) for i in idxs_all])
+        # pad the frame axis to a static shape (jit compiles once); padded
+        # slots repeat the query image and their outputs are ignored
+        n_real = imgs.shape[0]
+        if n_real < pad_to:
+            pad = np.broadcast_to(
+                imgs[-1], (pad_to - n_real,) + imgs.shape[1:]
+            )
+            imgs = np.concatenate([imgs, pad], axis=0)
         res = pi3_apply(jnp.asarray(imgs[None]))
-        points = np.asarray(res["points"][0])  # (N, H, W, 3)
+        points = np.asarray(res["points"][0])  # (pad_to, H, W, 3)
 
-        q = points[-1]
+        q = points[n_real - 1]
+        n_cand = len(candidate_ids)
         fracs = []
-        for s in range(0, len(candidate_ids), chunk_size):
-            cand = points[s : min(s + chunk_size, len(candidate_ids))]
-            b = cand.shape[0]
+        # chunks stay at static width (padded rows are query copies whose
+        # fractions are discarded) so match_pi3 also compiles once
+        for s in range(0, pad_to - 1, chunk_size):
+            cand = points[s : min(s + chunk_size, pad_to - 1)]
             qb = np.broadcast_to(q, cand.shape)
             _, valid = match_pi3(
                 match_cfg, jnp.asarray(cand), jnp.asarray(qb)
             )
             fracs.extend(np.asarray(valid).mean(axis=1).tolist())
-        return fracs
+        return fracs[:n_cand]
 
     return matcher

@@ -19,6 +19,7 @@ identity whitening over raw encoder features (still a functional ivf).
 from __future__ import annotations
 
 import dataclasses
+import os
 from collections import defaultdict
 from typing import Callable, Optional
 
@@ -60,6 +61,80 @@ class RetrievalHead:
         k = min(self.nfeat, p.shape[0])
         top = np.argsort(-attention)[:k]
         return p[top]
+
+
+def load_retrieval_head(path: str, nfeat: int = 300) -> RetrievalHead:
+    """Load the released retrieval checkpoint into a RetrievalHead.
+
+    Reference layout (``mast3r/retrieval/model.py:114-258`` +
+    ``retrieval/processor.py:66-91``): a torch ``.pth`` with ``args`` (nfeat,
+    hdims, residual) and ``model`` holding ``prewhiten.{m,p}`` Whitener
+    parameters (applied as ``(x - m) @ p``), an optional Sequential
+    ``projector.{i}.weight/bias`` and optional ``postwhiten.{m,p}``.  The
+    "trainingfree" release carries only the prewhitener.  Safetensors files
+    holding the flat ``model`` dict are accepted too.
+    """
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        model, args = dict(load_file(path)), None
+    else:
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        model = ckpt.get("model", ckpt)
+        args = ckpt.get("args") if isinstance(ckpt, dict) else None
+
+    def arr(key):
+        v = model.get(key)
+        return None if v is None else np.asarray(v, np.float32)
+
+    head = RetrievalHead(nfeat=nfeat)
+    if args is not None:
+        head.nfeat = int(getattr(args, "nfeat", nfeat))
+        head.residual = bool(getattr(args, "residual", False))
+    m = arr("prewhiten.m")
+    head.prewhiten_mean = m.reshape(-1) if m is not None else None
+    head.prewhiten_p = arr("prewhiten.p")
+    m = arr("postwhiten.m")
+    head.postwhiten_mean = m.reshape(-1) if m is not None else None
+    head.postwhiten_p = arr("postwhiten.p")
+    # projector: last Linear of the Sequential (hdims chain; the released
+    # heads use hdims='' or a single layer — intermediate LN/GELU layers of
+    # a deeper chain are not representable here and are rejected)
+    lin_ids = sorted({int(k.split(".")[1]) for k in model
+                      if k.startswith("projector.") and k.endswith(".weight")})
+    if len(lin_ids) > 1:
+        raise NotImplementedError(
+            f"multi-layer retrieval projector not supported ({lin_ids})"
+        )
+    if lin_ids:
+        i = lin_ids[0]
+        head.projector_w = arr(f"projector.{i}.weight").T
+        head.projector_b = arr(f"projector.{i}.bias")
+    return head
+
+
+def load_codebook(path: str) -> np.ndarray:
+    """Load ASMK codebook centroids.
+
+    Accepts the reference's codebook pickle
+    (``asmk/codebook.py:65-77``: {"type", "params", "state": {"centroids"}}),
+    a plain dict with "centroids", or a raw ``.npy``/``.npz`` array.
+    """
+    if path.endswith((".npy", ".npz")):
+        data = np.load(path)
+        arr = data["centroids"] if hasattr(data, "files") else data
+        return np.asarray(arr, np.float32)
+    import pickle
+
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    if isinstance(data, np.ndarray):
+        return np.asarray(data, np.float32)
+    if "state" in data:
+        return np.asarray(data["state"]["centroids"], np.float32)
+    return np.asarray(data["centroids"], np.float32)
 
 
 class SimilarityGraph:
@@ -110,9 +185,9 @@ class RetrievalDatabase:
         self.ma = multiple_assignment
         self.alpha = alpha
         self.sim_thresh = similarity_threshold
-        # ivf: centroid -> (list of image ids, list of binary signatures)
-        self.ivf: dict = defaultdict(list)
-        self.image_norms: dict = {}
+        # ivf: centroid -> [list of image ids, list of binary signatures]
+        self.ivf: dict = defaultdict(lambda: [[], []])
+        self.image_norms: list = []
         self.kf_counter = 0
         self.sim_graph = SimilarityGraph()
         self.accurate_matcher = accurate_matcher  # Pi3 verification hook
@@ -139,49 +214,64 @@ class RetrievalDatabase:
     def _aggregate(self, vecs: np.ndarray, assign: np.ndarray):
         """Aggregate residuals per centroid, binarize (ASMK aggregation).
 
-        Returns dict centroid -> signature (D,) float in {-1, +1}.
+        Fully vectorized (one scatter-add over all (feature, assignment)
+        pairs — the reference loops per feature in asmk's cython kernel).
+        Returns (unique centroid ids (C,), signatures (C, D) in {-1, +1}).
         """
-        agg: dict = {}
-        for f in range(vecs.shape[0]):
-            for c in assign[f]:
-                agg.setdefault(int(c), []).append(
-                    vecs[f] - self.centroids[int(c)]
-                )
-        out = {}
-        for c, residuals in agg.items():
-            r = np.mean(residuals, axis=0)
-            n = np.linalg.norm(r)
-            if n > 1e-12:
-                r = r / n
-            out[c] = np.where(r >= 0, 1.0, -1.0).astype(np.float32)
-        return out
-
-    def _similarity(self, b_q: np.ndarray, b_db: np.ndarray) -> float:
-        """ASMK* kernel: thresholded signed-power of binary cosine."""
-        d = b_q.shape[0]
-        cos = float(b_q @ b_db) / d
-        if cos < self.sim_thresh:
-            return 0.0
-        return cos ** self.alpha
+        n, k = assign.shape
+        flat_c = assign.reshape(-1).astype(np.int64)
+        flat_f = np.repeat(np.arange(n), k)
+        uniq, inv = np.unique(flat_c, return_inverse=True)
+        sums = np.zeros((len(uniq), vecs.shape[1]), np.float32)
+        np.add.at(sums, inv, vecs[flat_f])
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.float32)
+        resid = sums - self.centroids[uniq] * counts[:, None]
+        # mean + L2-normalization preserve the sign, so binarization reduces
+        # to the sign of the residual sum
+        sigs = np.where(resid >= 0, 1.0, -1.0).astype(np.float32)
+        return uniq, sigs
 
     # -- public surface (reference update semantics) ------------------------
     def add(self, feat: np.ndarray):
-        sigs = self._aggregate(feat, self._quantize(feat, 1))
+        uniq, sigs = self._aggregate(feat, self._quantize(feat, 1))
         imid = self.kf_counter
-        for c, sig in sigs.items():
-            self.ivf[c].append((imid, sig))
-        self.image_norms[imid] = max(np.sqrt(len(sigs)), 1e-12)
+        for c, sig in zip(uniq, sigs):
+            entry = self.ivf[int(c)]
+            entry[0].append(imid)
+            entry[1].append(sig)
+        self.image_norms.append(max(np.sqrt(len(uniq)), 1e-12))
         self.kf_counter += 1
 
     def _query_scores(self, feat: np.ndarray) -> np.ndarray:
+        """ASMK* scoring: thresholded signed-power of binary cosine between
+        the query's aggregated signatures and all stored signatures in the
+        query's centroids, scatter-added per image (one batched pass; the
+        reference's python-per-image loop is at
+        retrieval_database.py:369-405)."""
         scores = np.zeros(self.kf_counter, np.float32)
-        sigs = self._aggregate(feat, self._quantize(feat, self.ma))
-        for c, sig in sigs.items():
-            for imid, db_sig in self.ivf.get(c, []):
-                scores[imid] += self._similarity(sig, db_sig)
-        q_norm = max(np.sqrt(len(sigs)), 1e-12)
-        for i in range(self.kf_counter):
-            scores[i] /= q_norm * self.image_norms.get(i, 1.0)
+        uniq, qsigs = self._aggregate(feat, self._quantize(feat, self.ma))
+        q_rows, db_rows, id_rows = [], [], []
+        for ci, c in enumerate(uniq):
+            entry = self.ivf.get(int(c))
+            if not entry or not entry[0]:
+                continue
+            m = len(entry[0])
+            q_rows.append(np.broadcast_to(qsigs[ci], (m, qsigs.shape[1])))
+            db_rows.append(np.stack(entry[1]))
+            id_rows.append(np.asarray(entry[0], np.int64))
+        if q_rows:
+            q = np.concatenate(q_rows)
+            db = np.concatenate(db_rows)
+            ids = np.concatenate(id_rows)
+            cos = (q * db).sum(1) / q.shape[1]
+            sim = np.where(
+                cos < self.sim_thresh, 0.0,
+                np.sign(cos) * np.abs(cos) ** self.alpha,
+            ).astype(np.float32)
+            np.add.at(scores, ids, sim)
+        q_norm = max(np.sqrt(len(uniq)), 1e-12)
+        norms = np.asarray(self.image_norms[: self.kf_counter], np.float32)
+        scores /= q_norm * np.maximum(norms, 1e-12)
         return scores
 
     def update(self, backbone_feat: np.ndarray, add_after_query: bool,
@@ -238,3 +328,45 @@ class RetrievalDatabase:
         out = [selected[i] for i in order
                if fracs[i] > self.cfg["accurate_min"]]
         return out[: self.cfg["k"]]
+
+
+def build_retrieval_database(args, config: dict, keyframes) -> RetrievalDatabase:
+    """Reference ``load_retriever`` (utils_mast3r.py:20-28): retrieval head +
+    codebook from the released checkpoint when present, plus the Pi3
+    accurate-loop-closure matcher when ``--accurate_loop_closure`` is set
+    (retrieval_database.py:168-170 loads Pi3 inside the database)."""
+    head = None
+    centroids = None
+    path = getattr(args, "retrieval_checkpoint_path", "") or ""
+    if path and os.path.isfile(path):
+        head = load_retrieval_head(path)
+        base, _ = os.path.splitext(path)
+        # reference: sibling `<name minus last _suffix>_codebook.pkl`
+        # (retrieval/processor.py:96-99)
+        cands = ["_".join(base.split("_")[:-1]) + "_codebook.pkl",
+                 base + "_codebook.pkl", base + "_codebook.npy"]
+        for cb in cands:
+            if os.path.isfile(cb):
+                centroids = load_codebook(cb)
+                break
+        print(f"loaded retrieval head from {path}"
+              + (" (+ codebook)" if centroids is not None else
+                 " (random-centroid fallback)"))
+
+    accurate_matcher = None
+    if getattr(args, "accurate_loop_closure", False):
+        from artdeco_tpu.models.pi3 import load_pi3_apply
+        from artdeco_tpu.vslam.accurate_lc import make_pi3_accurate_matcher
+
+        full = getattr(args, "model_size", "full") == "full"
+        pi3_apply, resize_hw = load_pi3_apply(
+            getattr(args, "pi3_checkpoint_path", "") or "", full=full,
+        )
+        accurate_matcher = make_pi3_accurate_matcher(
+            pi3_apply, keyframes, config["matching"], resize_hw=resize_hw,
+        )
+
+    return RetrievalDatabase(
+        config, head=head, centroids=centroids,
+        accurate_matcher=accurate_matcher,
+    )
