@@ -31,6 +31,15 @@ from artdeco_tpu.geometry import lie
 # Jitted GN solver
 # ---------------------------------------------------------------------------
 
+def _clamp_step(dx, max_step: float = 1.0):
+    """Per-pose trust region: cap each pose's tangent step norm.  A raw GN
+    step on a badly-initialized graph can reach |dx| ~ 10, which blows up
+    the Sim(3) retraction (scale = e^sigma); steps below the cap pass
+    through unchanged so converged behavior is identical to plain GN."""
+    nrm = jnp.linalg.norm(dx, axis=-1, keepdims=True)
+    return dx * jnp.minimum(1.0, max_step / jnp.maximum(nrm, 1e-12))
+
+
 def _edge_terms(T_wc, Xs, Cs, K, i_idx, j_idx, idx_ii2jj, valid_match, Q,
                 height, width, pixel_border, z_eps, sigma_pixel, sigma_depth,
                 C_thresh, Q_thresh, edge_valid):
@@ -206,6 +215,155 @@ def gauss_newton_calib(
         Hd = Hd + jnp.diag(jnp.where(pin, 1.0, 1e-6))  # jitter + pinning
         dx = -jnp.linalg.solve(Hd, gd)
         dx = jnp.where(pin, 0.0, dx).reshape(P, D)
+        dx = _clamp_step(dx)
+
+        T_new = lie.sim3_normalize(lie.sim3_retr(T, dx))
+        T = jnp.where(free[:, None], T_new, T)
+        return it + 1, T, jnp.linalg.norm(dx)
+
+    def cond(carry):
+        it, T, dn = carry
+        return (it < max_iter) & (dn >= delta_thresh)
+
+    _, T_out, _ = jax.lax.while_loop(
+        cond, one_iter, (jnp.int32(0), T_wc, jnp.asarray(jnp.inf))
+    )
+    return T_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_iter", "num_fix", "chunk",
+                     "pcg_iters"),
+)
+def gauss_newton_calib_sparse(
+    T_wc: jax.Array,        # (P, 8) Sim3 poses (padded; first num_fix fixed)
+    Xs: jax.Array,          # (P, HW, 3)
+    Cs: jax.Array,          # (P, HW, 1)
+    K: jax.Array,           # (3, 3)
+    ii: jax.Array,          # (E,)
+    jj: jax.Array,          # (E,)
+    idx_ii2jj: jax.Array,   # (E, HW)
+    valid_match: jax.Array,  # (E, HW)
+    Q: jax.Array,           # (E, HW, 1)
+    edge_valid: jax.Array,  # (E,)
+    pose_used: jax.Array,   # (P,)
+    height: int,
+    width: int,
+    pixel_border: int = -10,
+    z_eps: float = 1e-6,
+    sigma_pixel: float = 1.0,
+    sigma_depth: float = 10.0,
+    C_thresh: float = 0.0,
+    Q_thresh: float = 1.5,
+    max_iter: int = 10,
+    delta_thresh: float = 1e-8,
+    num_fix: int = 1,
+    chunk: int = 8,
+    pcg_iters: int = None,
+):
+    """Block-sparse Gauss-Newton for large pose counts.
+
+    The reference solves the same edge-sparse normal equations with an Eigen
+    SimplicialLLT on the host (``gn_kernels.cu:57-159``, a device->host
+    roundtrip per GN iteration).  Here the special structure of the
+    pose-graph Hessian (per edge, Hii = Hjj = -Hij = -Hji =: B_e — a graph
+    Laplacian of 7x7 blocks) lets the whole solve stay on device:
+
+      * per-edge blocks B_e (E,7,7) + gradients (scatter-added to (P,7))
+        replace the dense (P,P,7,7) accumulation — O(E) memory, not O(P^2);
+      * the solve is preconditioned conjugate gradients with a block-Jacobi
+        (7x7 per-pose) preconditioner; the matvec is two gathers + one
+        batched 7x7 matmul + two scatter-adds over edges.
+
+    Identical semantics to ``gauss_newton_calib`` — used for P > ~256 where
+    the dense assembly would not fit (822 MB at the 2048-keyframe bound).
+    """
+    P = T_wc.shape[0]
+    E = ii.shape[0]
+    D = 7
+    if pcg_iters is None:
+        # CG on a chain-like pose graph needs ~O(P) iterations to carry
+        # corrections across the graph diameter (block-Jacobi does not
+        # shorten the path); matvecs are O(E*49) so this stays cheap
+        pcg_iters = max(128, 2 * P)
+
+    free = pose_used & (jnp.arange(P) >= num_fix)
+    ev_f = edge_valid.astype(jnp.float32)[:, None]
+
+    def one_iter(carry):
+        it, T, dn = carry
+
+        def edge_chunk(gacc, c):
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)
+            e_ii, e_jj = sl(ii), sl(jj)
+            _, _, _, Bc, gi, gj = jax.vmap(
+                lambda a, b, cdx, d, e, f: _edge_terms(
+                    T, Xs, Cs, K, a, b, cdx, d, e,
+                    height, width, pixel_border, z_eps, sigma_pixel,
+                    sigma_depth, C_thresh, Q_thresh, edge_valid=f,
+                )
+            )(e_ii, e_jj, sl(idx_ii2jj), sl(valid_match), sl(Q),
+              sl(edge_valid))
+            gacc = gacc.at[e_ii].add(gi)
+            gacc = gacc.at[e_jj].add(gj)
+            return gacc, Bc
+
+        g, B = jax.lax.scan(
+            edge_chunk, jnp.zeros((P, D)), jnp.arange(E // chunk)
+        )
+        B = B.reshape(E, D, D) * ev_f[:, :, None]
+
+        # block diagonal (P, 7, 7) + jitter; pinned poses get identity
+        Hdiag = (
+            jnp.zeros((P, D, D)).at[ii].add(B).at[jj].add(B)
+            + 1e-6 * jnp.eye(D)
+        )
+        Hdiag = jnp.where(
+            free[:, None, None], Hdiag, jnp.broadcast_to(jnp.eye(D), (P, D, D))
+        )
+        Minv = jnp.linalg.inv(Hdiag)
+
+        maskx = free[:, None].astype(jnp.float32)
+
+        def matvec(x):
+            x = x * maskx
+            t = jnp.einsum("ecd,ed->ec", B, x[ii] - x[jj])
+            y = jnp.zeros_like(x).at[ii].add(t).at[jj].add(-t)
+            return (y + 1e-6 * x) * maskx
+
+        def precond(r):
+            return jnp.einsum("pcd,pd->pc", Minv, r) * maskx
+
+        # PCG: solve H dx = -g
+        b = -g * maskx
+        x0 = jnp.zeros((P, D))
+        r0 = b
+        z0 = precond(r0)
+        p0 = z0
+        rz0 = jnp.vdot(r0, z0)
+        b_norm2 = jnp.maximum(jnp.vdot(b, b), 1e-30)
+
+        def pcg_cond(s):
+            k, x, r, z, p, rz = s
+            return (k < pcg_iters) & (jnp.vdot(r, r) > 1e-12 * b_norm2)
+
+        def pcg_step(s):
+            k, x, r, z, p, rz = s
+            Ap = matvec(p)
+            alpha = rz / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = precond(r)
+            rz_new = jnp.vdot(r, z)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            p = z + beta * p
+            return k + 1, x, r, z, p, rz_new
+
+        _, dx, _, _, _, _ = jax.lax.while_loop(
+            pcg_cond, pcg_step, (jnp.int32(0), x0, r0, z0, p0, rz0)
+        )
+        dx = _clamp_step(dx * maskx)
 
         T_new = lie.sim3_normalize(lie.sim3_retr(T, dx))
         T = jnp.where(free[:, None], T_new, T)
@@ -237,18 +395,53 @@ class FactorGraph:
         self.keyframes = keyframes    # KeyframeStore
         self.K = np.asarray(K, np.float32)
         self.h, self.w = hw
-        n = self.h * self.w
-        self.ii: list[int] = []
+        self.ii: list[int] = []       # undirected pairs (bookkeeping)
         self.jj: list[int] = []
-        self.idx_ii2jj = np.zeros((0, n), np.int32)
-        self.idx_jj2ii = np.zeros((0, n), np.int32)
-        self.valid_match_j = np.zeros((0, n), bool)
-        self.valid_match_i = np.zeros((0, n), bool)
-        self.Q_ii2jj = np.zeros((0, n), np.float32)
-        self.Q_jj2ii = np.zeros((0, n), np.float32)
+        # directed edge store in preallocated capacity arrays (each kept
+        # pair occupies two rows, one per direction) — appends are O(row),
+        # not O(E*HW) re-concatenations
+        n = self.h * self.w
+        self._cap = 16
+        self.n_directed = 0
+        self.e_ii = np.zeros(self._cap, np.int32)
+        self.e_jj = np.zeros(self._cap, np.int32)
+        self.e_idx = np.zeros((self._cap, n), np.int32)
+        self.e_vm = np.zeros((self._cap, n), bool)
+        self.e_q = np.zeros((self._cap, n), np.float32)
+        self.e_valid = np.zeros(self._cap, bool)
 
     def __len__(self):
         return len(self.ii)
+
+    def _ensure_capacity(self, add: int):
+        need = self.n_directed + add
+        if need <= self._cap:
+            return
+        new_cap = self._pow2(need, lo=self._cap * 2)
+        n = self.h * self.w
+
+        def grow(a, shape, dtype):
+            out = np.zeros(shape, dtype)
+            out[: self.n_directed] = a[: self.n_directed]
+            return out
+
+        self.e_ii = grow(self.e_ii, (new_cap,), np.int32)
+        self.e_jj = grow(self.e_jj, (new_cap,), np.int32)
+        self.e_idx = grow(self.e_idx, (new_cap, n), np.int32)
+        self.e_vm = grow(self.e_vm, (new_cap, n), bool)
+        self.e_q = grow(self.e_q, (new_cap, n), np.float32)
+        self.e_valid = grow(self.e_valid, (new_cap,), bool)
+        self._cap = new_cap
+
+    def _append_directed(self, i, j, idx, vm, q):
+        k = self.n_directed
+        self.e_ii[k] = i
+        self.e_jj[k] = j
+        self.e_idx[k] = idx
+        self.e_vm[k] = vm
+        self.e_q[k] = q
+        self.e_valid[k] = True
+        self.n_directed += 1
 
     def add_factors(self, ii: list, jj: list, min_match_frac: float,
                     is_reloc: bool = False) -> bool:
@@ -301,25 +494,16 @@ class FactorGraph:
         if not keep.any():
             return False
 
-        self.ii += ii_arr[keep].tolist()
-        self.jj += jj_arr[keep].tolist()
-        self.idx_ii2jj = np.concatenate([self.idx_ii2jj, idx_i2j[keep]], 0)
-        self.idx_jj2ii = np.concatenate([self.idx_jj2ii, idx_j2i[keep]], 0)
-        self.valid_match_j = np.concatenate([self.valid_match_j, vm_j[keep]], 0)
-        self.valid_match_i = np.concatenate([self.valid_match_i, vm_i[keep]], 0)
-        self.Q_ii2jj = np.concatenate([self.Q_ii2jj, Qj[keep]], 0)
-        self.Q_jj2ii = np.concatenate([self.Q_jj2ii, Qi[keep]], 0)
+        kept = np.flatnonzero(keep)
+        self._ensure_capacity(2 * kept.size)
+        for r in kept:
+            i, j = int(ii_arr[r]), int(jj_arr[r])
+            # both directions (reference two-way prep, global_opt.py:130-136)
+            self._append_directed(i, j, idx_i2j[r], vm_j[r], Qj[r])
+            self._append_directed(j, i, idx_j2i[r], vm_i[r], Qi[r])
+            self.ii.append(i)
+            self.jj.append(j)
         return True
-
-    # -- solver ------------------------------------------------------------
-    def _two_way(self):
-        """(global_opt.py:130-136) duplicate edges in both directions."""
-        ii = np.asarray(self.ii + self.jj, np.int32)
-        jj = np.asarray(self.jj + self.ii, np.int32)
-        idx = np.concatenate([self.idx_ii2jj, self.idx_jj2ii], 0)
-        vm = np.concatenate([self.valid_match_j, self.valid_match_i], 0)
-        q = np.concatenate([self.Q_ii2jj, self.Q_jj2ii], 0)
-        return ii, jj, idx, vm, q
 
     @staticmethod
     def _pow2(n, lo=8):
@@ -328,14 +512,20 @@ class FactorGraph:
             c *= 2
         return c
 
+    # dense assembly is O(P^2) memory (822 MB at P=2048); switch to the
+    # block-sparse PCG solver above this many poses
+    DENSE_POSE_LIMIT = 256
+
     def solve_GN_calib(self):
         from artdeco_tpu.geometry import projection as proj
 
         pin = int(self.cfg["pin"])
-        uniq = np.unique(np.asarray(self.ii + self.jj, np.int64))
+        n_e = self.n_directed
+        uniq = np.unique(np.stack([self.e_ii[:n_e], self.e_jj[:n_e]]))
         if uniq.size <= pin:
             return
-        remap = {int(k): i for i, k in enumerate(uniq)}
+        remap_arr = np.zeros(int(uniq.max()) + 1, np.int64)
+        remap_arr[uniq] = np.arange(uniq.size)
 
         P = self._pow2(uniq.size)
         hw = self.h * self.w
@@ -343,7 +533,8 @@ class FactorGraph:
         Xs = np.zeros((P, hw, 3), np.float32)
         Cs = np.full((P, hw, 1), -1.0, np.float32)
         used = np.zeros(P, bool)
-        for k, i in remap.items():
+        for k in uniq:
+            i = int(remap_arr[k])
             T[i] = self.keyframes.T_WC[k]
             Xs[i] = self.keyframes.X[k]
             Cs[i] = self.keyframes.C[k] / max(int(self.keyframes.N[k]), 1)
@@ -356,27 +547,23 @@ class FactorGraph:
             (self.h, self.w), jnp.asarray(Xs), jnp.asarray(self.K)
         )
 
-        ii, jj, idx, vm, q = self._two_way()
-        E = self._pow2(ii.shape[0], lo=8)
-        ii_p = np.zeros(E, np.int32)
-        jj_p = np.zeros(E, np.int32)
-        idx_p = np.zeros((E, hw), np.int32)
-        vm_p = np.zeros((E, hw), bool)
-        q_p = np.zeros((E, hw), np.float32)
-        ev = np.zeros(E, bool)
-        n_e = ii.shape[0]
-        ii_p[:n_e] = [remap[int(x)] for x in ii]
-        jj_p[:n_e] = [remap[int(x)] for x in jj]
-        idx_p[:n_e] = idx
-        vm_p[:n_e] = vm
-        q_p[:n_e] = q
-        ev[:n_e] = True
+        # the capacity arrays are already padded to a power of two with
+        # e_valid False past n_directed; slice (no copy on host)
+        E = self._pow2(n_e, lo=8)
+        ii_p = remap_arr[self.e_ii[:E]].astype(np.int32)
+        jj_p = remap_arr[self.e_jj[:E]].astype(np.int32)
 
-        T_new = gauss_newton_calib(
+        solver = (
+            gauss_newton_calib if P <= self.DENSE_POSE_LIMIT
+            else gauss_newton_calib_sparse
+        )
+        T_new = solver(
             jnp.asarray(T), Xs_j, jnp.asarray(Cs), jnp.asarray(self.K),
-            jnp.asarray(ii_p), jnp.asarray(jj_p), jnp.asarray(idx_p),
-            jnp.asarray(vm_p), jnp.asarray(q_p)[..., None],
-            jnp.asarray(ev), jnp.asarray(used),
+            jnp.asarray(ii_p), jnp.asarray(jj_p),
+            jnp.asarray(self.e_idx[:E]),
+            jnp.asarray(self.e_vm[:E]),
+            jnp.asarray(self.e_q[:E])[..., None],
+            jnp.asarray(self.e_valid[:E]), jnp.asarray(used),
             self.h, self.w,
             pixel_border=int(self.cfg["pixel_border"]),
             z_eps=float(self.cfg["depth_eps"]),
@@ -392,5 +579,5 @@ class FactorGraph:
         # write back all but the pinned prefix (global_opt.py:231)
         upd = uniq[pin:]
         self.keyframes.update_T_WCs(
-            T_new[[remap[int(k)] for k in upd]], upd
+            T_new[remap_arr[upd]], upd
         )

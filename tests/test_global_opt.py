@@ -174,3 +174,146 @@ def test_gauss_newton_exact_integer_shift():
         lie.sim3_mul(lie.sim3_inv(jnp.asarray(T_out[1])), jnp.asarray(T_gt[1]))
     )))
     assert err < 2e-3, err
+
+
+def _build_problem(T_gt, edges, P=None, E=None):
+    """Shared harness: exact plane pointmaps + integer-pixel matches."""
+    n = T_gt.shape[0]
+    HWn = H * W
+    X = np.stack([plane_pointmap(T) for T in T_gt])
+    C = np.full((n, HWn, 1), 5.0, np.float32)
+    P = P or n
+    E = E or len(edges)
+    ii = np.zeros(E, np.int32)
+    jj = np.zeros(E, np.int32)
+    idx_p = np.zeros((E, HWn), np.int32)
+    vm_p = np.zeros((E, HWn), bool)
+    Q_p = np.zeros((E, HWn, 1), np.float32)
+    ev = np.zeros(E, bool)
+    for e, (i, j) in enumerate(edges):
+        world = np.asarray(lie.sim3_act(jnp.asarray(T_gt[j]), jnp.asarray(X[j])))
+        u, v = project_to(T_gt[i], world)
+        ui = np.round(u).astype(np.int64)
+        vi = np.round(v).astype(np.int64)
+        ok = (ui >= 1) & (ui < W - 1) & (vi >= 1) & (vi < H - 1)
+        ii[e], jj[e] = i, j
+        idx_p[e] = np.clip(vi * W + ui, 0, HWn - 1)
+        vm_p[e] = ok
+        Q_p[e] = 4.0
+        ev[e] = True
+    Xp = np.zeros((P, HWn, 3), np.float32)
+    Cp = np.zeros((P, HWn, 1), np.float32)
+    Xp[:n] = X
+    Cp[:n] = C
+    used = np.zeros(P, bool)
+    used[:n] = True
+    return Xp, Cp, ii, jj, idx_p, vm_p, Q_p, ev, used
+
+
+def _pose_err(Ta, Tb):
+    return np.linalg.norm(np.asarray(lie.sim3_log(
+        lie.sim3_mul(lie.sim3_inv(jnp.asarray(Ta)), jnp.asarray(Tb))
+    )))
+
+
+def test_sparse_solver_matches_dense():
+    """PCG block-sparse solver must agree with the dense path."""
+    from artdeco_tpu.vslam.global_opt import gauss_newton_calib_sparse
+
+    rng = np.random.RandomState(0)
+    xis = [np.zeros(7)] + [0.04 * rng.randn(7) for _ in range(3)]
+    T_gt = np.stack([np.asarray(lie.sim3_exp(jnp.asarray(x, jnp.float32)))
+                     for x in xis])
+    edges = [(i, i + 1) for i in range(3)] + [(i + 1, i) for i in range(3)]
+    Xp, Cp, ii, jj, idx_p, vm_p, Q_p, ev, used = _build_problem(
+        T_gt, edges, P=4, E=8)
+    T0 = T_gt.copy()
+    for i in range(1, 4):
+        d = 0.1 * rng.randn(7).astype(np.float32)
+        T0[i] = np.asarray(lie.sim3_mul(lie.sim3_exp(jnp.asarray(d)),
+                                        jnp.asarray(T_gt[i])))
+    args = (jnp.asarray(Xp), jnp.asarray(Cp), jnp.asarray(K),
+            jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx_p),
+            jnp.asarray(vm_p), jnp.asarray(Q_p), jnp.asarray(ev),
+            jnp.asarray(used), H, W)
+    kw = dict(max_iter=8, delta_thresh=1e-10, chunk=8)
+    T_dense = np.asarray(gauss_newton_calib(jnp.asarray(T0), *args, **kw))
+    T_sparse = np.asarray(
+        gauss_newton_calib_sparse(jnp.asarray(T0), *args, **kw))
+    for i in range(4):
+        assert _pose_err(T_dense[i], T_sparse[i]) < 5e-3, i
+
+
+def test_sparse_solver_large_pose_count():
+    """Pose recovery at P=512 — beyond the dense solver's practical range
+    (VERDICT r1 item 5; reference sparse LLT gn_kernels.cu:57-159).
+
+    Uses a zigzag of exact integer-pixel x-translations so the rounded
+    matches are noise-free: with consistent measurements the solver must
+    pull the whole chain back to GT (no quantization drift floor), unlike a
+    random trajectory where rounding errors accumulate like a random walk
+    along the chain.
+    """
+    from artdeco_tpu.vslam.global_opt import gauss_newton_calib_sparse
+
+    rng = np.random.RandomState(1)
+    n = 512
+    z_plane = 2.0
+    tx = 2.0 * z_plane / F  # exactly 2 px per step
+    T_gt = np.tile(np.asarray([0, 0, 0, 0, 0, 0, 1, 1], np.float32), (n, 1))
+    for i in range(n):
+        T_gt[i, 0] = (i % 4) * tx  # zigzag: every pair overlaps
+    edges = []
+    for i in range(n - 1):
+        edges += [(i, i + 1), (i + 1, i)]
+    for i in range(0, n - 64, 64):
+        edges += [(i, i + 64), (i + 64, i)]
+    E = 2048
+    Xp, Cp, ii, jj, idx_p, vm_p, Q_p, ev, used = _build_problem(
+        T_gt, edges, P=n, E=E)
+    T0 = T_gt.copy()
+    derr0 = np.zeros(n)
+    for i in range(1, n):
+        d = 0.08 * rng.randn(7).astype(np.float32)
+        T0[i] = np.asarray(lie.sim3_mul(lie.sim3_exp(jnp.asarray(d)),
+                                        jnp.asarray(T_gt[i])))
+        derr0[i] = _pose_err(T0[i], T_gt[i])
+    T_out = np.asarray(gauss_newton_calib_sparse(
+        jnp.asarray(T0), jnp.asarray(Xp), jnp.asarray(Cp), jnp.asarray(K),
+        jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(idx_p),
+        jnp.asarray(vm_p), jnp.asarray(Q_p), jnp.asarray(ev),
+        jnp.asarray(used), H, W, max_iter=10, delta_thresh=1e-10, chunk=32,
+    ))
+    derr1 = np.asarray([_pose_err(T_out[i], T_gt[i]) for i in range(n)])
+    # exact measurements: errors must collapse far below the injected noise
+    assert np.median(derr1[1:]) < 0.15 * np.median(derr0[1:]), (
+        np.median(derr0[1:]), np.median(derr1[1:]))
+    assert np.percentile(derr1[1:], 95) < np.median(derr0[1:]), (
+        np.percentile(derr1[1:], 95))
+    np.testing.assert_allclose(T_out[0], T0[0], atol=1e-6)
+
+
+def test_factor_graph_capacity_growth():
+    """Directed-edge capacity arrays must grow and keep edge data intact."""
+    from artdeco_tpu.vslam.global_opt import FactorGraph
+
+    cfg = {"local_opt": {
+        "pin": 1, "window_size": 1e6, "C_conf": 0.0, "Q_conf": 1.5,
+        "min_match_frac": 0.1, "pixel_border": -10, "depth_eps": 1e-6,
+        "sigma_pixel": 1.0, "sigma_depth": 10.0, "max_iters": 3,
+        "delta_norm": 1e-8,
+    }}
+    fg = FactorGraph(cfg, runner=None, keyframes=None, K=K, hw=(4, 5))
+    n = 20
+    rng = np.random.RandomState(0)
+    for e in range(40):
+        fg._ensure_capacity(2)
+        fg._append_directed(e, e + 1, rng.randint(0, n, n),
+                            rng.rand(n) > 0.5, rng.rand(n))
+        fg._append_directed(e + 1, e, rng.randint(0, n, n),
+                            rng.rand(n) > 0.5, rng.rand(n))
+    assert fg.n_directed == 80
+    assert fg._cap >= 80
+    assert fg.e_valid[:80].all() and not fg.e_valid[80:].any()
+    assert (fg.e_ii[:80:2] == np.arange(40)).all()
+    assert (fg.e_jj[1:80:2] == np.arange(40)).all()
