@@ -576,6 +576,18 @@ class SceneModel:
             t_w2c=self.pool.t_w2c.at[idx].set(Rt[:3, 3]),
         )
 
+    def set_keyframe_poses_masked(self, Rt_w2c_cap, mask_cap):
+        """Batched pose writeback at full capacity (one device op; avoids a
+        per-keyframe dispatch loop whose tunnel round-trips grow O(n) per
+        loop-closure event).  Rt_w2c_cap (cap, 4, 4), mask_cap (cap,)."""
+        Rt = jnp.asarray(Rt_w2c_cap, jnp.float32)
+        m = jnp.asarray(mask_cap)
+        self.pool = dataclasses.replace(
+            self.pool,
+            r_w2c=jnp.where(m[:, None, None], Rt[:, :3, :2], self.pool.r_w2c),
+            t_w2c=jnp.where(m[:, None], Rt[:, :3, 3], self.pool.t_w2c),
+        )
+
     # -- rendering -------------------------------------------------------
     def render_from_id(self, keyframe_id: int, pyr_lvl: int = 0, bg=None):
         if bg is None:

@@ -29,6 +29,39 @@ from artdeco_tpu.vslam.frontend import Frontend
 from artdeco_tpu.vslam.keyframes import KeyframeStore
 
 
+_rigid_fns: dict = {}
+
+
+def _rigid_transform_poses(pool, slam_T, TCkC, is_kf, mask):
+    """Batched (jitted) loop-closure pose recomputation: new mapper
+    world->cam 4x4s from SLAM keyframe poses (+ relative T_CkC for common
+    frames), plus old/new cam->world for the gaussian rigid transform."""
+    import jax
+    import jax.numpy as jnp
+
+    from artdeco_tpu.mapper import keyframe as KFmod
+
+    key = slam_T.shape[0]
+    fn = _rigid_fns.get(key)
+    if fn is None:
+        def impl(pool, slam_T, TCkC, is_kf, mask):
+            def one(sT, tc, k):
+                T_full = lie.sim3_mul(sT, tc)
+                T7 = jnp.where(k, sT[:7], T_full[:7])
+                return lie.se3_matrix(lie.se3_inv(T7))
+
+            new_Rt = jax.vmap(one)(slam_T, TCkC, is_kf)
+            eye = jnp.eye(4)
+            Rts = KFmod.get_all_Rt(pool)[: slam_T.shape[0]]
+            Rts = jnp.where(mask[:, None, None], Rts, eye)
+            new_safe = jnp.where(mask[:, None, None], new_Rt, eye)
+            return new_Rt, jnp.linalg.inv(new_safe), jnp.linalg.inv(Rts)
+
+        fn = jax.jit(impl)
+        _rigid_fns[key] = fn
+    return fn(pool, slam_T, TCkC, is_kf, mask)
+
+
 class Runtimes:
     """Wall-clock stage counters (run_system.py:135-136, utils.py:112-115)."""
 
@@ -183,34 +216,36 @@ class System:
 
     def _rigid_transform_scene(self):
         """Propagate pose-graph updates into mapper poses + gaussians
-        (run_system.py:194-227)."""
+        (run_system.py:194-227).  One batched device call at keyframe
+        capacity — a per-keyframe python loop would cost O(n) host<->device
+        round-trips per loop-closure event (O(n^2) over a run)."""
+        import jax.numpy as jnp
+
         n = len(self.scene_model.keyframes)
         if n == 0:
             return
         cap = self.scene_model.cfg.keyframe_capacity
-        old_c2ws = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-        new_c2ws = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
-        from artdeco_tpu.mapper import keyframe as KFmod
-
-        Rts = np.asarray(KFmod.get_all_Rt(self.scene_model.pool))
+        ident8 = np.asarray([0, 0, 0, 0, 0, 0, 1, 1], np.float32)
+        slam_T = np.tile(ident8, (cap, 1))
+        TCkC = np.tile(ident8, (cap, 1))
+        is_kf = np.zeros(cap, bool)
+        mask = np.zeros(cap, bool)
         for mapper_id in range(n):
             meta = self.mapper_meta[mapper_id]
-            slam_T = self.keyframes.T_WC[meta["last_keyframe_index"]]
-            if meta["is_slam_keyframe"]:
-                T_WCf7 = slam_T[:7]
-            else:
-                T_full = np.asarray(lie.sim3_mul(
-                    np.asarray(slam_T, np.float32),
-                    np.asarray(meta["T_CkC"], np.float32),
-                ))
-                T_WCf7 = T_full[:7]
-            new_Rt = np.asarray(lie.se3_matrix(lie.se3_inv(
-                np.asarray(T_WCf7, np.float32))))
-            old_Rt = Rts[mapper_id]
-            old_c2ws[mapper_id] = np.linalg.inv(old_Rt)
-            new_c2ws[mapper_id] = np.linalg.inv(new_Rt)
-            self.scene_model.set_keyframe_pose(mapper_id, new_Rt)
-        self.scene_model.rigid_transform_gs(old_c2ws, new_c2ws)
+            slam_T[mapper_id] = self.keyframes.T_WC[meta["last_keyframe_index"]]
+            is_kf[mapper_id] = meta["is_slam_keyframe"]
+            if meta["T_CkC"] is not None:
+                TCkC[mapper_id] = np.asarray(meta["T_CkC"], np.float32)
+            mask[mapper_id] = True
+
+        new_Rt, new_c2ws, old_c2ws = _rigid_transform_poses(
+            self.scene_model.pool, jnp.asarray(slam_T), jnp.asarray(TCkC),
+            jnp.asarray(is_kf), jnp.asarray(mask),
+        )
+        self.scene_model.set_keyframe_poses_masked(new_Rt, mask)
+        self.scene_model.rigid_transform_gs(
+            np.asarray(old_c2ws[:n]), np.asarray(new_c2ws[:n])
+        )
 
     # -- main loop ----------------------------------------------------------
     def run(self, max_frames: Optional[int] = None, progress: bool = True,

@@ -409,6 +409,19 @@ class FactorGraph:
         self.e_vm = np.zeros((self._cap, n), bool)
         self.e_q = np.zeros((self._cap, n), np.float32)
         self.e_valid = np.zeros(self._cap, bool)
+        # device mirror: edge payloads and per-keyframe pointmaps stay
+        # resident in HBM and are appended/synced incrementally — without
+        # this every solve re-uploads O(E*HW + P*HW) over PCIe, which
+        # dominated per-keyframe time at scale (reference keeps keyframes
+        # and the factor graph on the GPU for the same reason)
+        self._dev_edges: dict = {}          # 'idx','vm','q' (capE, HW) jnp
+        self._dev_ecap = 0
+        self._n_dev_edges = 0
+        self._dev_X = None                  # (capP, HW, 3) jnp, ray-constrained
+        self._dev_C = None                  # (capP, HW, 1) jnp
+        self._kf_slot: dict = {}            # keyframe id -> device slot
+        self._slot_version: dict = {}       # keyframe id -> synced version
+        self._dev_pcap = 0
 
     def __len__(self):
         return len(self.ii)
@@ -442,6 +455,83 @@ class FactorGraph:
         self.e_q[k] = q
         self.e_valid[k] = True
         self.n_directed += 1
+
+    # -- device mirror -------------------------------------------------------
+    @staticmethod
+    def _scatter_rows(a, rows_idx, rows):
+        """In-place (donated) row scatter on device."""
+        import jax
+
+        if not hasattr(FactorGraph, "_scatter_jit"):
+            FactorGraph._scatter_jit = jax.jit(
+                lambda a, i, v: a.at[i].set(v), donate_argnums=0
+            )
+        return FactorGraph._scatter_jit(a, rows_idx, rows)
+
+    def _sync_edges_device(self):
+        """Append host edge rows [n_dev_edges, n_directed) to the device
+        mirror (one batched scatter; capacities grow by doubling)."""
+        import jax.numpy as jnp
+
+        n = self.h * self.w
+        if self.n_directed > self._dev_ecap:
+            newcap = self._pow2(self.n_directed, lo=max(16, self._dev_ecap * 2))
+            old = self._dev_edges
+            self._dev_edges = {
+                "idx": jnp.zeros((newcap, n), jnp.int32),
+                "vm": jnp.zeros((newcap, n), jnp.bool_),
+                "q": jnp.zeros((newcap, n), jnp.float32),
+            }
+            if old:
+                for k in self._dev_edges:
+                    self._dev_edges[k] = (
+                        self._dev_edges[k].at[: self._dev_ecap].set(old[k])
+                    )
+            self._dev_ecap = newcap
+        s, e = self._n_dev_edges, self.n_directed
+        if s == e:
+            return
+        rows_idx = jnp.arange(s, e)
+        for name, host in (("idx", self.e_idx), ("vm", self.e_vm),
+                           ("q", self.e_q)):
+            self._dev_edges[name] = self._scatter_rows(
+                self._dev_edges[name], rows_idx, jnp.asarray(host[s:e])
+            )
+        self._n_dev_edges = e
+
+    def _sync_poses_device(self, uniq):
+        """Assign device slots to keyframes and (re)upload pointmaps whose
+        host version changed since the last sync."""
+        import jax.numpy as jnp
+
+        n = self.h * self.w
+        for k in uniq:
+            self._kf_slot.setdefault(int(k), len(self._kf_slot))
+        if len(self._kf_slot) > self._dev_pcap:
+            newcap = self._pow2(len(self._kf_slot),
+                                lo=max(16, self._dev_pcap * 2))
+            X = jnp.zeros((newcap, n, 3), jnp.float32)
+            C = jnp.zeros((newcap, n, 1), jnp.float32)
+            if self._dev_X is not None:
+                X = X.at[: self._dev_pcap].set(self._dev_X)
+                C = C.at[: self._dev_pcap].set(self._dev_C)
+            self._dev_X, self._dev_C, self._dev_pcap = X, C, newcap
+        stale = [int(k) for k in uniq
+                 if self._slot_version.get(int(k))
+                 != int(self.keyframes.version[k])]
+        if stale:
+            slots = jnp.asarray([self._kf_slot[k] for k in stale])
+            Xrows = np.stack([self.keyframes.X[k] for k in stale])
+            Crows = np.stack([
+                self.keyframes.C[k] / max(int(self.keyframes.N[k]), 1)
+                for k in stale
+            ])
+            self._dev_X = self._scatter_rows(self._dev_X, slots,
+                                             jnp.asarray(Xrows))
+            self._dev_C = self._scatter_rows(self._dev_C, slots,
+                                             jnp.asarray(Crows))
+            for k in stale:
+                self._slot_version[k] = int(self.keyframes.version[k])
 
     def add_factors(self, ii: list, jj: list, min_match_frac: float,
                     is_reloc: bool = False) -> bool:
@@ -527,28 +617,32 @@ class FactorGraph:
         remap_arr = np.zeros(int(uniq.max()) + 1, np.int64)
         remap_arr[uniq] = np.arange(uniq.size)
 
+        import jax.numpy as jnp
+
+        # incremental device sync: only new edges / changed pointmaps move
+        # over the host->device link
+        self._sync_edges_device()
+        self._sync_poses_device(uniq)
+
         P = self._pow2(uniq.size)
-        hw = self.h * self.w
         T = np.tile(np.asarray([0, 0, 0, 0, 0, 0, 1, 1], np.float32), (P, 1))
-        Xs = np.zeros((P, hw, 3), np.float32)
-        Cs = np.full((P, hw, 1), -1.0, np.float32)
         used = np.zeros(P, bool)
+        slot_of = np.zeros(P, np.int64)
         for k in uniq:
             i = int(remap_arr[k])
             T[i] = self.keyframes.T_WC[k]
-            Xs[i] = self.keyframes.X[k]
-            Cs[i] = self.keyframes.C[k] / max(int(self.keyframes.N[k]), 1)
+            slot_of[i] = self._kf_slot[int(k)]
             used[i] = True
 
-        # constrain to rays (global_opt.py:189-191)
-        import jax.numpy as jnp
-
+        # gather pose pointmaps from the device mirror (HBM-local) and
+        # constrain to rays on device (global_opt.py:189-191)
+        gather = jnp.asarray(slot_of)
         Xs_j = proj.constrain_points_to_ray(
-            (self.h, self.w), jnp.asarray(Xs), jnp.asarray(self.K)
+            (self.h, self.w), self._dev_X[gather], jnp.asarray(self.K)
         )
+        Cs_j = jnp.where(jnp.asarray(used)[:, None, None],
+                         self._dev_C[gather], -1.0)
 
-        # the capacity arrays are already padded to a power of two with
-        # e_valid False past n_directed; slice (no copy on host)
         E = self._pow2(n_e, lo=8)
         ii_p = remap_arr[self.e_ii[:E]].astype(np.int32)
         jj_p = remap_arr[self.e_jj[:E]].astype(np.int32)
@@ -558,11 +652,11 @@ class FactorGraph:
             else gauss_newton_calib_sparse
         )
         T_new = solver(
-            jnp.asarray(T), Xs_j, jnp.asarray(Cs), jnp.asarray(self.K),
+            jnp.asarray(T), Xs_j, Cs_j, jnp.asarray(self.K),
             jnp.asarray(ii_p), jnp.asarray(jj_p),
-            jnp.asarray(self.e_idx[:E]),
-            jnp.asarray(self.e_vm[:E]),
-            jnp.asarray(self.e_q[:E])[..., None],
+            self._dev_edges["idx"][:E],
+            self._dev_edges["vm"][:E],
+            self._dev_edges["q"][:E][..., None],
             jnp.asarray(self.e_valid[:E]), jnp.asarray(used),
             self.h, self.w,
             pixel_border=int(self.cfg["pixel_border"]),

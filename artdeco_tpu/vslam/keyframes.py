@@ -44,6 +44,9 @@ class KeyframeStore:
         self.C = np.zeros((buffer, h * w, 1), dtype)
         self.N = np.zeros(buffer, np.int32)
         self.is_dirty = np.zeros(buffer, bool)
+        # monotonically-increasing pointmap version per slot, for consumers
+        # (e.g. the factor graph's device mirror) to sync lazily
+        self.version = np.zeros(buffer, np.int64)
         self.K = None if K_slam is None else np.asarray(K_slam, dtype)
         # dense points for the mapper (rgb-less: xyz + conf)
         self.dense_point = np.zeros((buffer, h, w, 4), dtype)
@@ -78,6 +81,7 @@ class KeyframeStore:
         self.C[idx] = np.asarray(f.C)
         self.N[idx] = int(f.N)
         self.is_dirty[idx] = True
+        self.version[idx] += 1
 
     def append(self, f: Frame) -> int:
         idx = self.n_size

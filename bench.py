@@ -1,86 +1,263 @@
-"""Driver benchmark: end-to-end mapper throughput on real TPU hardware.
+"""Driver benchmark: end-to-end streaming FPS on real TPU hardware.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} on stdout;
+progress + the on-device kernel golden check go to stderr.
 
-Measures the mapper's online-reconstruction rate: full optimization steps
-(render fwd+bwd at map resolution + all Adam updates) per second on a
-realistic synthetic scene, converted to equivalent streaming FPS given the
-reference schedule of record (20 key-iters per keyframe, ~1 keyframe per 10
-frames -> 2 optimization iterations per streamed frame).  Baseline: the
-driver north star of 30 FPS end-to-end (BASELINE.md).
+What is measured (the reference's per-frame hot path, SURVEY.md §3.2):
+
+  1. On-device kernel golden: the Pallas tile compositor (fwd + custom-VJP
+     bwd) is checked against the pure-JAX reference renderer at small size
+     BEFORE any timing — TPU-mode kernel behavior is verified continuously,
+     not just in interpret-mode CPU tests (VERDICT r1 item 10).
+  2. Full-size MASt3R (ViT-L encoder, dual decoder, DPT heads, random
+     weights — timing needs no checkpoint) asymmetric pair inference +
+     matching cascade at 512x384, the per-tracked-frame model cost
+     (reference: CameraTracker.py:57-62, ~1 encode + 1 pair decode per frame
+     with the keyframe side cached).
+  3. The full pipeline (track -> backend GN -> mapper optimization) via
+     System.run with the oracle runner at realistic scale: 512-long-edge
+     SLAM resolution, schedule of record (20 key-iters / 10 common-iters,
+     run.sh), ~1e5 gaussians.
+
+End-to-end frame time = pipeline per-frame time + full-size model per-frame
+time (the oracle replaces the model inside the pipeline, so its cost is
+added back explicitly).  Baseline: 30 FPS end-to-end (BASELINE.md).
 """
 
 import json
+import sys
 import time
+import types
 
 import numpy as np
 
 
-def main():
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# 1. On-device Pallas compositor golden check (fwd + bwd vs pure-JAX ref)
+# ---------------------------------------------------------------------------
+
+def golden_check():
     import jax
     import jax.numpy as jnp
 
-    from artdeco_tpu.mapper.config import MapperConfig
-    from artdeco_tpu.mapper.keyframe import make_host_keyframe
-    from artdeco_tpu.mapper.scene_model import SceneModel
+    from artdeco_tpu.ops.splat import binning, composite
 
-    W, H = 480, 270          # map resolution (960x540 / downsampling 2)
-    F = 300.0
-    K = [[F, 0, W / 2], [0, F, H / 2], [0, 0, 1]]
-    cfg = MapperConfig(
-        capacity=1 << 17, initial_capacity=1 << 13, new_budget=1 << 13, pyr_levels=1,
-        cluster_capacity=1 << 13, voxel_table_size=1 << 16,
-        keyframe_capacity=256, gs_add_ratio=1.0,
+    width, height = 48, 32
+    n = 60
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    means2d = jnp.stack([
+        jax.random.uniform(k1, (n,), minval=6.0, maxval=width - 6.0),
+        jax.random.uniform(k2, (n,), minval=6.0, maxval=height - 6.0),
+    ], axis=-1)
+    sx = jax.random.uniform(k3, (n,), minval=1.0, maxval=2.5)
+    sy = jax.random.uniform(k3, (n,), minval=1.0, maxval=2.5)
+    rho = jax.random.uniform(k4, (n,), minval=-0.3, maxval=0.3)
+    cov = jnp.stack([sx * sx, rho * sx * sy, rho * sx * sy, sy * sy],
+                    -1).reshape(n, 2, 2)
+    det = cov[:, 0, 0] * cov[:, 1, 1] - cov[:, 0, 1] * cov[:, 1, 0]
+    conics = jnp.stack(
+        [cov[:, 1, 1] / det, -cov[:, 0, 1] / det, cov[:, 0, 0] / det], -1)
+    radii = jnp.ceil(3.0 * jnp.sqrt(jnp.stack([cov[:, 0, 0], cov[:, 1, 1]], -1)))
+    opac = jax.random.uniform(k5, (n,), minval=0.3, maxval=0.95)
+    channels = jax.random.uniform(jax.random.PRNGKey(99), (n, 4))
+
+    tiles_x = -(-width // binning.TILE)
+    tiles_y = -(-height // binning.TILE)
+
+    def tile_render(means2d, conics, opac, channels):
+        bins = binning.build_tile_bins(means2d, radii, tiles_x, tiles_y,
+                                       kx=4, ky=4)
+        packed = jnp.concatenate(
+            [means2d, conics, opac[:, None], jnp.zeros((n, 2)), channels,
+             jnp.zeros((n, composite.C_MAX - channels.shape[-1]))], axis=-1)
+        slot_data = jnp.where(
+            bins.slot_valid[None, :], packed.T[:, bins.slot_gauss], 0.0)
+        out = composite.tile_composite(
+            slot_data, bins.pad_starts, bins.pad_counts, tiles_x, tiles_y)
+        img = (out.reshape(tiles_y, tiles_x, 16, 16, composite.C_MAX)
+               .transpose(0, 2, 1, 3, 4)
+               .reshape(tiles_y * 16, tiles_x * 16, composite.C_MAX)
+               )[:height, :width]
+        return img[..., :4], img[..., composite.C_MAX - 1]
+
+    img, alpha = jax.jit(tile_render)(means2d, conics, opac, channels)
+    ref_img, ref_alpha = composite.composite_reference(
+        means2d, conics, opac, channels, width, height)
+    fwd_err = max(float(jnp.abs(img - ref_img).max()),
+                  float(jnp.abs(alpha - ref_alpha).max()))
+
+    g_img = jax.random.normal(jax.random.PRNGKey(3), (height, width, 4))
+    g_alpha = jax.random.normal(jax.random.PRNGKey(4), (height, width))
+
+    def loss_tile(m, c, o, ch):
+        i, a = tile_render(m, c, o, ch)
+        return jnp.sum(i * g_img) + jnp.sum(a * g_alpha)
+
+    def loss_ref(m, c, o, ch):
+        i, a = composite.composite_reference(m, c, o, ch, width, height)
+        return jnp.sum(i * g_img) + jnp.sum(a * g_alpha)
+
+    gt = jax.jit(jax.grad(loss_tile, argnums=(0, 1, 2, 3)))(
+        means2d, conics, opac, channels)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+        means2d, conics, opac, channels)
+    bwd_err = max(
+        float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-6))
+        for a, b in zip(gt, gr)
     )
-    sm = SceneModel(W, H, K, cfg, seed=0)
+    # TPU transcendentals are approximate (exp/log in the transmittance
+    # accumulation differ between the Pallas kernel and the pure-JAX
+    # reference at the ~3e-3 level); real breakage (ordering, indexing,
+    # VJP sign) shows up at 1e-1+
+    ok = fwd_err < 2e-2 and bwd_err < 5e-2
+    log(f"golden[{jax.default_backend()}]: "
+        f"{'PASSED' if ok else 'FAILED'} fwd_err={fwd_err:.2e} "
+        f"bwd_relerr={bwd_err:.2e}")
+    if not ok:
+        raise SystemExit("on-device compositor golden check FAILED")
 
+
+# ---------------------------------------------------------------------------
+# 2. Full-size MASt3R per-tracked-frame inference time
+# ---------------------------------------------------------------------------
+
+def bench_mast3r(h=384, w=512, iters=10):
+    import jax
+    import jax.numpy as jnp
+
+    from artdeco_tpu.models import mast3r as M
+    from artdeco_tpu.models.mast3r_infer import Mast3rRunner
+
+    log("compiling full-size MASt3R (ViT-L, bf16, random weights)...")
+    cfg = M.MASt3RConfig()
+    runner = Mast3rRunner.create(cfg, init_hw=(h, w))
     rng = np.random.RandomState(0)
-    u, v = np.meshgrid(np.arange(W), np.arange(H))
+    img_f = jnp.asarray(rng.rand(3, h, w).astype(np.float32) * 2 - 1)
+    img_k = jnp.asarray(rng.rand(3, h, w).astype(np.float32) * 2 - 1)
+    # keyframe side cached, as in tracking (CameraTracker.py:45,147)
+    emb_k = runner.encode_image(img_k[None])
+    out = runner.match_asymmetric(img_f, img_k, embeddings_j=emb_k)
+    jax.block_until_ready(out[0])
+    t0 = time.time()
+    for _ in range(iters):
+        out = runner.match_asymmetric(img_f, img_k, embeddings_j=emb_k)
+    jax.block_until_ready(out[0])
+    dt = (time.time() - t0) / iters
+    log(f"mast3r per-frame (encode+pair-decode+match @ {w}x{h}): "
+        f"{1000 * dt:.1f} ms")
+    return dt
 
-    def make_kf(i, tx):
-        img = np.stack([
-            0.5 + 0.4 * np.sin(u / 9.0 + tx),
-            0.5 + 0.4 * np.cos(v / 7.0),
-            0.5 + 0.3 * np.sin((u + v) / 11.0),
-        ]).astype(np.float32).clip(0, 1)
-        depth = (2.0 + 0.3 * np.sin(u / 20.0) * np.cos(v / 15.0)).astype(np.float32)
-        pm = np.stack([(u - W / 2) / F * depth, (v - H / 2) / F * depth, depth],
-                      axis=-1).astype(np.float32)
-        kf = make_host_keyframe(
-            index=i, global_frame_id=i * 10, image=img, point_map=pm,
-            point_conf=np.ones((H, W), np.float32), is_test=False,
-            is_slam_keyframe=True, pyr_levels=1,
-        )
-        Rt = np.eye(4, dtype=np.float32)
-        Rt[0, 3] = tx
-        return kf, Rt
 
-    for i in range(3):
-        kf, Rt = make_kf(i, 0.05 * i)
-        sm.add_keyframe(kf, Rt)
-        sm.add_new_gaussians(i)
+# ---------------------------------------------------------------------------
+# 3. Oracle pipeline at realistic scale
+# ---------------------------------------------------------------------------
 
-    # warmup / compile
-    sm.optimization_loop(3)
-    n_gauss = sm.n_active_gaussians
-
+def bench_pipeline(n_frames=48, width=1024, height=576):
     import jax
 
-    jax.block_until_ready(sm.slab.xyz)
-    iters = 40
-    t0 = time.time()
-    sm.optimization_loop(iters)
-    jax.block_until_ready(sm.slab.xyz)   # honest timing: wait for the work
-    dt = time.time() - t0
-    iters_per_s = iters / dt
-    # reference schedule: ~2 mapper iterations per streamed frame
-    equiv_fps = iters_per_s / 2.0
+    from artdeco_tpu.dataio.dataset import SyntheticDataset
+    from artdeco_tpu.mapper.config import MapperConfig
+    from artdeco_tpu.models.oracle import OracleRunner
+    from artdeco_tpu.runtime.system import System
+    from artdeco_tpu.utils.config import load_config
 
+    args = types.SimpleNamespace(
+        source_path="", images_dir="images", downsampling=2.0,
+        max_size_slam=512, start_at=0, end_at=0, seq_length=0,
+        image_sampling=0, dataset_name="synthetic", test_hold=-1,
+        calib=None, init_focal=-1.0, init_fov=-1.0, optimize_focal=False,
+        covariance_filter=True, point_fusion_frontend=True,
+        use_all_frames=False, use_same_set_of_keyframes=False,
+        min_displacement=0.03, thres_keyframe=0.8, num_GBA=1,
+        # schedule of record (run.sh: 20 key-iters / 10 common-iters)
+        num_key_iterations=20, num_common_iterations=10,
+        sh_degree=3, local_feat_dim=16, global_feat_dim=16, pyr_levels=2,
+        accurate_loop_closure=False, model_size="tiny",
+        retrieval_checkpoint_path="", pi3_checkpoint_path="",
+        max_active_keyframes=400,
+    )
+    dataset = SyntheticDataset(args, n_frames=n_frames, width=width,
+                               height=height)
+    config = load_config("config/base.yaml")
+    # keyframe cadence ~1/8 frames at this gentle synthetic motion
+    config["tracking"]["match_frac_thresh"] = 0.95
+
+    log(f"pipeline: slam {dataset.W_slam}x{dataset.H_slam}, "
+        f"map {dataset.W_map}x{dataset.H_map}, {n_frames} frames")
+    runner = OracleRunner((dataset.H_slam, dataset.W_slam), dataset.K_slam,
+                          config["matching"])
+    for i in range(len(dataset)):
+        img, info = dataset[i]
+        T = np.zeros(8, np.float32)
+        T[:7] = info["Twc_gt"]
+        T[7] = 1.0
+        runner.register(dataset.transform.to_slam(img), i, T)
+
+    mcfg = MapperConfig(
+        capacity=1 << 18, initial_capacity=1 << 14, new_budget=1 << 14,
+        cluster_capacity=1 << 13, voxel_table_size=1 << 16,
+        keyframe_capacity=256, sh_degree=3, local_feat_dim=16,
+        global_feat_dim=16, pyr_levels=2, gs_add_ratio=1.0,
+        init_proba_scaler=4.0,
+    )
+    system = System(args, config, dataset, runner, mapper_cfg=mcfg)
+    # warmup: compile every stage on the first frames, then time the rest
+    warm = 6
+    t_start = time.time()
+    per_frame = []
+    stage = {"track": 0.0, "backend": 0.0, "map": 0.0}
+    for i in range(n_frames):
+        t0 = time.time()
+        img, info = dataset[i]
+        msg = system.frontend.process_frame(img, info)
+        t1 = time.time()
+        t2 = t1
+        if msg is not None:
+            mm = system.backend.process(msg)
+            t2 = time.time()
+            if mm is not None:
+                system._handle_mapper_msg(mm)
+        t3 = time.time()
+        system.n_frames += 1
+        dt = t3 - t0
+        if i >= warm:
+            per_frame.append(dt)
+            stage["track"] += t1 - t0
+            stage["backend"] += t2 - t1
+            stage["map"] += t3 - t2
+        log(f"  frame {i}: {1000 * dt:.0f} ms "
+            f"(trk {1000 * (t1 - t0):.0f} bkd {1000 * (t2 - t1):.0f} "
+            f"map {1000 * (t3 - t2):.0f}), kf={len(system.keyframes)}, "
+            f"gs={system.scene_model.n_active_gaussians}")
+    n_gauss = int(system.scene_model.n_active_gaussians)
+    t_pipe = float(np.mean(per_frame))
+    nsteady = max(len(per_frame), 1)
+    log(f"pipeline steady-state: {1000 * t_pipe:.1f} ms/frame "
+        f"(track {1000 * stage['track'] / nsteady:.0f} / backend "
+        f"{1000 * stage['backend'] / nsteady:.0f} / map "
+        f"{1000 * stage['map'] / nsteady:.0f}), {n_gauss} gaussians, "
+        f"{len(system.keyframes)} keyframes, total {time.time() - t_start:.0f}s")
+    return t_pipe, n_gauss
+
+
+def main():
+    golden_check()
+    t_model = bench_mast3r()
+    t_pipe, n_gauss = bench_pipeline()
+    fps = 1.0 / (t_pipe + t_model)
     print(json.dumps({
-        "metric": "mapper_equiv_fps",
-        "value": round(equiv_fps, 2),
-        "unit": f"frames/s (opt-iters/s={iters_per_s:.1f}, gaussians={n_gauss}, {W}x{H})",
-        "vs_baseline": round(equiv_fps / 30.0, 3),
+        "metric": "end_to_end_fps",
+        "value": round(fps, 2),
+        "unit": ("frames/s incl. full-size MASt3R pair inference "
+                 f"({1000 * t_model:.0f} ms) + track/backend/mapper pipeline "
+                 f"({1000 * t_pipe:.0f} ms, 512-res slam, 20/10 iter schedule, "
+                 f"{n_gauss} gaussians)"),
+        "vs_baseline": round(fps / 30.0, 3),
     }))
 
 

@@ -4,6 +4,7 @@ converter structural roundtrip, full pipeline smoke."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from artdeco_tpu.models import mast3r as M
 from artdeco_tpu.models.convert_mast3r import convert_state_dict, synth_state_dict
@@ -122,3 +123,30 @@ def test_runner_symmetric_batch():
     )
     assert idx_i2j.shape == (2, H * W) and idx_j2i.shape == (2, H * W)
     assert Qii.shape == (2, H * W, 1)
+
+
+@pytest.mark.slow
+def test_converter_full_size_forward():
+    """VERDICT r1 item 8: convert a full ViT-L-shaped torch state dict and
+    run one 512x384 forward; head output shapes/dtypes must match the
+    reference surface (dust3r/model.py:127-211 heads)."""
+    cfg = M.MASt3RConfig(compute_dtype=jnp.float32)
+    sd = synth_state_dict(cfg)
+    params = convert_state_dict(sd, cfg)
+    # every torch tensor maps to a flax leaf, except the 8 dead
+    # refinenet4.resConfUnit1 tensors per checkpoint (2 heads x conv1/conv2
+    # weight+bias) that the converter intentionally drops (no skip input)
+    n_torch = len(sd)
+    n_flax = len(jax.tree.leaves(params))
+    assert n_flax == n_torch - 8, (n_flax, n_torch)
+
+    runner = Mast3rRunner.create(cfg, params=params, init_hw=(384, 512))
+    h, w = 384, 512
+    img = jnp.asarray(
+        np.random.RandomState(0).rand(3, h, w).astype(np.float32) * 2 - 1
+    )
+    X, C, feat, pos = runner.inference_mono(img)
+    assert X.shape == (2, h * w, 3) and X.dtype == jnp.float32
+    assert C.shape == (2, h * w, 1)
+    assert feat.shape == (1, (h // 16) * (w // 16), cfg.enc_embed_dim)
+    assert bool(jnp.isfinite(X).all()) and bool(jnp.isfinite(C).all())
