@@ -70,6 +70,8 @@ class BaseDataset:
         if calib_path:
             with open(calib_path) as f:
                 intrinsics = yaml.safe_load(f)
+        elif getattr(self, "_forced_intrinsics", None) is not None:
+            intrinsics = self._forced_intrinsics
         else:
             H, W = self._probe_size()
             fov = getattr(args, "init_fov", -1.0)
@@ -193,6 +195,124 @@ class TUMDataset(BaseDataset):
         self._finish_init(args)
 
 
+class ColmapDataset(BaseDataset):
+    """Image folder calibrated by a COLMAP model (sparse/0), the layout of
+    the MipNeRF360-class scenes in the eval matrix of record
+    (train_eval_all.py:42-52).  Reference ingest:
+    ``dataloaders/utils_IO.py:107-523`` (read_model) +
+    ``DatasetBasic.py:127-273`` (intrinsics from the model; here the model
+    is read directly instead of shelling out to a COLMAP binary).
+
+    Intrinsics come from the first camera; GT world->cam poses from
+    images.bin are inverted into Twc and matched to the image list by name.
+    """
+
+    # COLMAP camera models: id -> (name, param layout)
+    _MODELS = {
+        0: "SIMPLE_PINHOLE",   # f, cx, cy
+        1: "PINHOLE",          # fx, fy, cx, cy
+        2: "SIMPLE_RADIAL",    # f, cx, cy, k1
+        3: "RADIAL",           # f, cx, cy, k1, k2
+        4: "OPENCV",           # fx, fy, cx, cy, k1, k2, p1, p2
+    }
+
+    def __init__(self, args):
+        from artdeco_tpu.mapper.scene_io import read_colmap_model
+
+        root = args.source_path
+        model_dir = None
+        for cand in ("sparse/0", "sparse", "colmap/sparse/0"):
+            d = os.path.join(root, cand)
+            if os.path.isfile(os.path.join(d, "cameras.bin")):
+                model_dir = d
+                break
+        if model_dir is None:
+            raise FileNotFoundError(
+                f"no COLMAP model (cameras.bin) under {root}/sparse[/0]"
+            )
+        cameras, images = read_colmap_model(model_dir)
+
+        self.image_dir = os.path.join(root, args.images_dir)
+        names = sorted(
+            n for n in os.listdir(self.image_dir)
+            if n.lower().endswith(IMAGE_EXTS)
+        )
+        self.image_name_list = names
+        self.timestamp = list(np.arange(len(names), dtype=np.float64))
+
+        # GT poses by image name: COLMAP stores world->cam (qw qx qy qz, t)
+        by_name = {im["name"]: im for im in images.values()}
+        poses = np.full((len(names), 7), np.nan)
+        for i, n in enumerate(names):
+            im = by_name.get(n)
+            if im is None:
+                continue
+            qw, qx, qy, qz = im["qvec"]
+            t = np.asarray(im["tvec"], np.float64)
+            R = _quat_wxyz_to_matrix(qw, qx, qy, qz)
+            t_wc = -R.T @ t
+            q_wc = _matrix_to_quat_xyzw(R.T)
+            poses[i, :3] = t_wc
+            poses[i, 3:7] = q_wc
+        self.Twc_gt = poses if np.isfinite(poses).any() else None
+
+        cam = cameras[min(cameras.keys())]
+        p = cam["params"]
+        model = self._MODELS.get(cam["model_id"], "PINHOLE")
+        if model == "SIMPLE_PINHOLE":
+            calib = [p[0], p[0], p[1], p[2]]
+        elif model == "PINHOLE":
+            calib = [p[0], p[1], p[2], p[3]]
+        elif model == "SIMPLE_RADIAL":
+            calib = [p[0], p[0], p[1], p[2], p[3], 0.0, 0.0, 0.0]
+        elif model == "RADIAL":
+            calib = [p[0], p[0], p[1], p[2], p[3], p[4], 0.0, 0.0]
+        else:  # OPENCV: fx fy cx cy k1 k2 p1 p2
+            calib = list(p[:8])
+        self._colmap_calib = {
+            "width": int(cam["width"]), "height": int(cam["height"]),
+            "calibration": calib,
+        }
+        # route through _finish_init's calib-file branch by injecting the
+        # parsed intrinsics (args.calib may still override explicitly)
+        self._finish_init_with_calib(args, self._colmap_calib)
+
+    def _finish_init_with_calib(self, args, intrinsics):
+        # args.calib (explicit YAML) still wins inside _finish_init
+        self._forced_intrinsics = intrinsics
+        self._finish_init(args)
+
+    def _probe_size(self):
+        return self._colmap_calib["height"], self._colmap_calib["width"]
+
+
+def _quat_wxyz_to_matrix(qw, qx, qy, qz):
+    q = np.asarray([qw, qx, qy, qz], np.float64)
+    q = q / np.linalg.norm(q)
+    w, x, y, z = q
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _matrix_to_quat_xyzw(R):
+    w = np.sqrt(max(0.0, 1.0 + R[0, 0] + R[1, 1] + R[2, 2])) / 2.0
+    if w > 1e-8:
+        x = (R[2, 1] - R[1, 2]) / (4 * w)
+        y = (R[0, 2] - R[2, 0]) / (4 * w)
+        z = (R[1, 0] - R[0, 1]) / (4 * w)
+    else:  # rare 180-degree case
+        x = np.sqrt(max(0.0, 1.0 + R[0, 0] - R[1, 1] - R[2, 2])) / 2.0
+        s = 4 * x if x > 1e-8 else 1.0
+        y = (R[0, 1] + R[1, 0]) / s
+        z = (R[0, 2] + R[2, 0]) / s
+        w = (R[2, 1] - R[1, 2]) / s
+    q = np.asarray([x, y, z, w], np.float64)
+    return q / np.linalg.norm(q)
+
+
 class SyntheticDataset(BaseDataset):
     """Procedural textured-plane flythrough (tests/bench; no files needed)."""
 
@@ -237,4 +357,11 @@ def load_dataset(args):
         return SyntheticDataset(args)
     if name == "tum":
         return TUMDataset(args)
+    if name == "colmap":
+        return ColmapDataset(args)
+    # auto-detect a COLMAP model for the default folder dataset
+    sp = getattr(args, "source_path", "") or ""
+    if name == "selfCaptured" and os.path.isfile(
+            os.path.join(sp, "sparse", "0", "cameras.bin")):
+        return ColmapDataset(args)
     return SelfCapturedDataset(args)

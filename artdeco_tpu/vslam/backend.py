@@ -38,6 +38,16 @@ class Backend:
         )
         self.retrieval = retrieval or RetrievalDatabase(config)
         self.lost_mode = False
+        # per-stage wall-clock accumulators (reference --display_runtimes)
+        self.timers: dict = {}
+
+    def _t(self, key: str, t0: float):
+        import time as _time
+
+        acc = self.timers.setdefault(key, [0.0, 0])
+        acc[0] += _time.perf_counter() - t0
+        acc[1] += 1
+        return _time.perf_counter()
 
     # -- message dispatch (Backend.py:48-115) -----------------------------
     def process(self, msg: dict) -> Optional[dict]:
@@ -97,6 +107,9 @@ class Backend:
 
     # -- global optimization (Backend.py:196-265) --------------------------
     def global_optimization(self, idx: int, n_consec: int = None):
+        import time as _time
+
+        t0 = _time.perf_counter()
         n_consec = n_consec if n_consec is not None else self.num_GBA
         keyframe = self.keyframes[idx]
         last_keyframe = self.keyframes[idx - 1] if idx > 0 else None
@@ -112,9 +125,11 @@ class Backend:
         else:
             Xm, Cm, feat_k, pos_k = self.runner.inference_mono(keyframe.img)
             Xkk, Ckk = Xm[0], Cm[0]
+        t0 = self._t("bkd.match_asym", t0)
         self.keyframes.put_embedding(idx, feat_k, pos_k)
         keyframe = keyframe.update_pointmap(Xkk, Ckk)
         self.keyframes[idx] = keyframe
+        t0 = self._t("bkd.pointmap_update", t0)
 
         # candidate edges: consecutive + retrieval (Backend.py:219-241)
         kf_idx = [idx - 1 - j for j in range(min(n_consec, idx))]
@@ -123,6 +138,7 @@ class Backend:
             k=self.config["retrieval"]["k"],
             min_thresh=self.config["retrieval"]["min_thresh"],
         )
+        t0 = self._t("bkd.retrieval", t0)
         kf_idx += retrieval_inds
         lc_inds = set(retrieval_inds)
         lc_inds.add(idx)
@@ -135,7 +151,9 @@ class Backend:
                 kf_list, [idx] * len(kf_list),
                 self.config["local_opt"]["min_match_frac"],
             )
+        t0 = self._t("bkd.add_factors", t0)
         self.factor_graph.solve_GN_calib()
+        t0 = self._t("bkd.solve_GN", t0)
 
         # refresh last keyframe pointmap with cross-predicted points
         keyframe = self.keyframes[idx]
@@ -147,6 +165,7 @@ class Backend:
             Xll = lie.sim3_act(T_ClCk, Xlk)
             last_keyframe = last_keyframe.update_pointmap(Xll, Clk)
             self.keyframes[idx - 1] = last_keyframe
+        self._t("bkd.writeback", t0)
         return lc_inds, idx_k2l, keyframe, last_keyframe
 
     # -- relocalization (Backend.py:269-325) --------------------------------
