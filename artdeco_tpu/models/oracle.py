@@ -32,6 +32,8 @@ class OracleRunner:
         self.conf_value = conf
         self._by_hash: Dict[bytes, int] = {}
         self._poses: Dict[int, np.ndarray] = {}
+        self._pm_cache: Dict[int, np.ndarray] = {}
+        self._desc_cache: Dict[int, np.ndarray] = {}
 
     # -- registration -------------------------------------------------------
     def register(self, img, frame_id: int, T_wc_sim3: np.ndarray):
@@ -43,11 +45,29 @@ class OracleRunner:
         key = hashlib.sha1(np.asarray(img).tobytes()).digest()
         return self._by_hash[key]
 
-    # -- geometry -----------------------------------------------------------
+    # -- geometry (pure numpy + cached: the oracle must not cost device
+    # transfers — it stands in for the model, whose cost is benched
+    # separately) ------------------------------------------------------------
+    @staticmethod
+    def _np_quat_R(q: np.ndarray) -> np.ndarray:
+        x, y, z, w = q
+        return np.asarray([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ], np.float32)
+
+    def _np_sim3_act(self, T: np.ndarray, X: np.ndarray) -> np.ndarray:
+        R = self._np_quat_R(T[3:7])
+        return (T[7] * (X @ R.T) + T[0:3]).astype(np.float32)
+
     def _pointmap(self, fid: int) -> np.ndarray:
         """Plane z_w = z_plane in frame fid's camera coords, pixel-aligned."""
+        hit = self._pm_cache.get(fid)
+        if hit is not None:
+            return hit
         T = self._poses[fid]
-        R = np.asarray(lie.quat_to_matrix(jnp.asarray(T[3:7])))
+        R = self._np_quat_R(T[3:7])
         s, t = T[7], T[0:3]
         u, v = np.meshgrid(np.arange(self.w), np.arange(self.h))
         fx, fy = self.K[0, 0], self.K[1, 1]
@@ -55,27 +75,34 @@ class OracleRunner:
         rays = np.stack([(u - cx) / fx, (v - cy) / fy, np.ones_like(u)], -1)
         d_w = s * (rays @ R.T)
         sc = (self.z_plane - t[2]) / d_w[..., 2]
-        return (rays * sc[..., None]).reshape(-1, 3).astype(np.float32)
+        out = (rays * sc[..., None]).reshape(-1, 3).astype(np.float32)
+        self._pm_cache[fid] = out
+        return out
 
     def _cross_pointmap(self, fid_src: int, fid_dst: int) -> np.ndarray:
         """Frame src's points expressed in dst's camera (per src pixel)."""
         X = self._pointmap(fid_src)
-        T_rel = lie.sim3_mul(
-            lie.sim3_inv(jnp.asarray(self._poses[fid_dst])),
-            jnp.asarray(self._poses[fid_src]),
-        )
-        return np.asarray(lie.sim3_act(T_rel, jnp.asarray(X)))
+        Td = self._poses[fid_dst]
+        Ts = self._poses[fid_src]
+        # T_rel = inv(T_dst) * T_src applied to X == inv(T_dst) applied to
+        # the world points of src
+        Xw = self._np_sim3_act(Ts, X)
+        Rd = self._np_quat_R(Td[3:7])
+        return ((Xw - Td[0:3]) @ Rd / Td[7]).astype(np.float32)
 
     def _desc(self, fid: int) -> np.ndarray:
         """World-position descriptors: matched pixels share descriptors."""
+        hit = self._desc_cache.get(fid)
+        if hit is not None:
+            return hit
         T = self._poses[fid]
-        Xw = np.asarray(
-            lie.sim3_act(jnp.asarray(T), jnp.asarray(self._pointmap(fid)))
-        )
+        Xw = self._np_sim3_act(T, self._pointmap(fid))
         f = np.concatenate(
             [np.sin(Xw * 40.0), np.cos(Xw * 40.0)], axis=-1
         ).astype(np.float32)
-        return f / np.linalg.norm(f, axis=-1, keepdims=True)
+        out = f / np.linalg.norm(f, axis=-1, keepdims=True)
+        self._desc_cache[fid] = out
+        return out
 
     def _conf(self):
         return np.full((self.h * self.w, 1), self.conf_value, np.float32)

@@ -38,7 +38,9 @@ def make_pi3_accurate_matcher(
 
     def matcher(candidate_ids, query_id):
         idxs_all = list(candidate_ids) + [query_id]
-        imgs = np.stack([resize(keyframes.img[i]) for i in idxs_all])
+        imgs = np.stack(
+            [resize(np.asarray(keyframes.img_dev(i))) for i in idxs_all]
+        )
         # pad the frame axis to a static shape (jit compiles once); padded
         # slots repeat the query image and their outputs are ignored
         n_real = imgs.shape[0]

@@ -40,30 +40,61 @@ def _clamp_step(dx, max_step: float = 1.0):
     return dx * jnp.minimum(1.0, max_step / jnp.maximum(nrm, 1e-12))
 
 
-def _edge_terms(T_wc, Xs, Cs, K, i_idx, j_idx, idx_ii2jj, valid_match, Q,
-                height, width, pixel_border, z_eps, sigma_pixel, sigma_depth,
-                C_thresh, Q_thresh, edge_valid):
+def _edge_static(Xs, Cs, i_idx, j_idx, idx_ii2jj, valid_match, Q,
+                 z_eps, sigma_pixel, sigma_depth, C_thresh, Q_thresh,
+                 edge_valid):
+    """Iteration-invariant per-edge data (hoisted out of the GN loop).
+
+    The measured-point gather ``Xs[i][idx]`` is the expensive op on TPU
+    (147k-row random gather per edge); it does not depend on the pose
+    iterate, so it is done ONCE per solve instead of once per GN iteration
+    (~10x less gather traffic).  Only the z-component of the gathered point
+    is ever used (log-depth residual), so only z is gathered.
+
+    Returns (zi_log, sqrt_w_pix, sqrt_w_dep) each (HW,), with the weights
+    already zeroed wherever the static validity gate fails.
+    """
+    ind = jnp.where(valid_match, idx_ii2jj, 0)
+    zi = Xs[i_idx][:, 2][ind]    # (HW,) measured z in frame i
+    q = Q[:, 0]
+    ci = Cs[i_idx][ind, 0]
+    cj = Cs[j_idx][:, 0]
+    valid_zi = zi > z_eps
+    valid = (
+        valid_match & (q > Q_thresh) & (ci > C_thresh) & (cj > C_thresh)
+        & valid_zi & edge_valid
+    )
+    zi_log = jnp.where(valid_zi, jnp.log(jnp.where(valid_zi, zi, 1.0)), 0.0)
+    sqrt_w_pix = jnp.where(valid, (1.0 / sigma_pixel) * jnp.sqrt(q), 0.0)
+    sqrt_w_dep = jnp.where(valid, (1.0 / sigma_depth) * jnp.sqrt(q), 0.0)
+    return zi_log, sqrt_w_pix, sqrt_w_dep
+
+
+def _edge_terms(T_wc, Xs, K, i_idx, j_idx, idx_ii2jj, zi_log,
+                sqrt_w_pix0, sqrt_w_dep0, height, width, pixel_border,
+                z_eps):
     """Hessian blocks + gradients for ONE edge (calib_proj_kernel math).
 
-    Returns (Hii, Hij, Hji, Hjj (7,7) each, gi, gj (7,)).
+    Static gating/weights come pre-reduced from :func:`_edge_static`; this
+    per-iteration body touches only pose-dependent quantities.
+
+    Returns (Hjj (7,7), gi, gj (7,)) — Hii == Hjj, Hij = Hji = -Hjj.
     """
     Ti = T_wc[i_idx]
     Tj = T_wc[j_idx]
     Tij = lie.sim3_rel(Ti, Tj)
 
-    ind = jnp.where(valid_match, idx_ii2jj, 0)
-    Xi = Xs[i_idx][ind]          # (HW, 3) measured points in frame i
+    ind = idx_ii2jj
     Xj = Xs[j_idx]               # (HW, 3)
     Xj_Ci = lie.sim3_act(Tij, Xj)
 
     fx, fy = K[0, 0], K[1, 1]
     cx, cy = K[0, 2], K[1, 2]
 
-    valid_z = (Xj_Ci[:, 2] > z_eps) & (Xi[:, 2] > z_eps)
+    valid_z = Xj_Ci[:, 2] > z_eps
     zj = jnp.where(valid_z, Xj_Ci[:, 2], 1.0)
     zj_inv = jnp.where(valid_z, 1.0 / zj, 0.0)
     zj_log = jnp.where(valid_z, jnp.log(zj), 0.0)
-    zi_log = jnp.where(valid_z, jnp.log(jnp.where(valid_z, Xi[:, 2], 1.0)), 0.0)
 
     x_div_z = Xj_Ci[:, 0] * zj_inv
     y_div_z = Xj_Ci[:, 1] * zj_inv
@@ -78,15 +109,9 @@ def _edge_terms(T_wc, Xs, Cs, K, i_idx, j_idx, idx_ii2jj, valid_match, Q,
 
     err = jnp.stack([u - u_t, v - v_t, zj_log - zi_log], axis=-1)  # (HW, 3)
 
-    q = Q[:, 0]
-    ci = Cs[i_idx][ind, 0]
-    cj = Cs[j_idx][:, 0]
-    valid = (
-        valid_match & (q > Q_thresh) & (ci > C_thresh) & (cj > C_thresh)
-        & valid_u & valid_v & valid_z & edge_valid
-    )
-    sqrt_w_pix = jnp.where(valid, (1.0 / sigma_pixel) * jnp.sqrt(q), 0.0)
-    sqrt_w_dep = jnp.where(valid, (1.0 / sigma_depth) * jnp.sqrt(q), 0.0)
+    gate = valid_u & valid_v & valid_z
+    sqrt_w_pix = jnp.where(gate, sqrt_w_pix0, 0.0)
+    sqrt_w_dep = jnp.where(gate, sqrt_w_dep0, 0.0)
 
     def huber(r):
         r_abs = jnp.abs(r)
@@ -125,13 +150,9 @@ def _edge_terms(T_wc, Xs, Cs, K, i_idx, j_idx, idx_ii2jj, valid_match, Q,
     # accumulate H = J^T W J over points and residual rows (MXU einsums)
     wJj = w[..., None] * Jj
     Hjj = jnp.einsum("nrc,nrd->cd", wJj, Jj)
-    # Hii == Hjj, Hij = -Hjj (Ji = -Jj) — computed explicitly for clarity
-    Hii = Hjj
-    Hij = -Hjj
-    Hji = -Hjj
     gj = jnp.einsum("nr,nrc->c", w * err, Jj)
     gi = -gj
-    return Hii, Hij, Hji, Hjj, gi, gj
+    return Hjj, gi, gj
 
 
 @partial(
@@ -173,6 +194,26 @@ def gauss_newton_calib(
 
     free = pose_used & (jnp.arange(P) >= num_fix)  # optimizable poses
 
+    # iteration-invariant per-edge stats (the expensive gathers), chunked
+    def static_chunk(_, c):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)
+        out = jax.vmap(
+            lambda a, b, cdx, d, e, f: _edge_static(
+                Xs, Cs, a, b, cdx, d, e, z_eps, sigma_pixel, sigma_depth,
+                C_thresh, Q_thresh, edge_valid=f,
+            )
+        )(sl(ii), sl(jj), sl(idx_ii2jj), sl(valid_match), sl(Q),
+          sl(edge_valid))
+        return None, out
+
+    _, (zi_log_all, swp_all, swd_all) = jax.lax.scan(
+        static_chunk, None, jnp.arange(E // chunk)
+    )
+    zi_log_all = zi_log_all.reshape(E, -1)
+    swp_all = swp_all.reshape(E, -1)
+    swd_all = swd_all.reshape(E, -1)
+    ind_all = jnp.where(valid_match, idx_ii2jj, 0)
+
     def one_iter(carry):
         it, T, dn = carry
 
@@ -181,21 +222,18 @@ def gauss_newton_calib(
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)
             e_ii = sl(ii)
             e_jj = sl(jj)
-            e_idx = sl(idx_ii2jj)
-            e_vm = sl(valid_match)
-            e_q = sl(Q)
-            e_ev = sl(edge_valid)
-            Hii, Hij, Hji, Hjj, gi, gj = jax.vmap(
-                lambda a, b, cdx, d, e, f: _edge_terms(
-                    T, Xs, Cs, K, a, b, cdx, d, e,
-                    height, width, pixel_border, z_eps, sigma_pixel,
-                    sigma_depth, C_thresh, Q_thresh, edge_valid=f,
+            Hjj, gi, gj = jax.vmap(
+                lambda a, b, cdx, zl, wp, wd: _edge_terms(
+                    T, Xs, K, a, b, cdx, zl, wp, wd,
+                    height, width, pixel_border, z_eps,
                 )
-            )(e_ii, e_jj, e_idx, e_vm, e_q, e_ev)
+            )(e_ii, e_jj, sl(ind_all), sl(zi_log_all), sl(swp_all),
+              sl(swd_all))
             # scatter-add into the dense (P, P, 7, 7) block matrix
-            Hacc = Hacc.at[e_ii, e_ii].add(Hii)
-            Hacc = Hacc.at[e_ii, e_jj].add(Hij)
-            Hacc = Hacc.at[e_jj, e_ii].add(Hji)
+            # (Hii == Hjj, Hij = Hji = -Hjj)
+            Hacc = Hacc.at[e_ii, e_ii].add(Hjj)
+            Hacc = Hacc.at[e_ii, e_jj].add(-Hjj)
+            Hacc = Hacc.at[e_jj, e_ii].add(-Hjj)
             Hacc = Hacc.at[e_jj, e_jj].add(Hjj)
             gacc = gacc.at[e_ii].add(gi)
             gacc = gacc.at[e_jj].add(gj)
@@ -291,20 +329,39 @@ def gauss_newton_calib_sparse(
     free = pose_used & (jnp.arange(P) >= num_fix)
     ev_f = edge_valid.astype(jnp.float32)[:, None]
 
+    # iteration-invariant per-edge stats (the expensive gathers), chunked
+    def static_chunk(_, c):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)
+        out = jax.vmap(
+            lambda a, b, cdx, d, e, f: _edge_static(
+                Xs, Cs, a, b, cdx, d, e, z_eps, sigma_pixel, sigma_depth,
+                C_thresh, Q_thresh, edge_valid=f,
+            )
+        )(sl(ii), sl(jj), sl(idx_ii2jj), sl(valid_match), sl(Q),
+          sl(edge_valid))
+        return None, out
+
+    _, (zi_log_all, swp_all, swd_all) = jax.lax.scan(
+        static_chunk, None, jnp.arange(E // chunk)
+    )
+    zi_log_all = zi_log_all.reshape(E, -1)
+    swp_all = swp_all.reshape(E, -1)
+    swd_all = swd_all.reshape(E, -1)
+    ind_all = jnp.where(valid_match, idx_ii2jj, 0)
+
     def one_iter(carry):
         it, T, dn = carry
 
         def edge_chunk(gacc, c):
             sl = lambda a: jax.lax.dynamic_slice_in_dim(a, c * chunk, chunk, 0)
             e_ii, e_jj = sl(ii), sl(jj)
-            _, _, _, Bc, gi, gj = jax.vmap(
-                lambda a, b, cdx, d, e, f: _edge_terms(
-                    T, Xs, Cs, K, a, b, cdx, d, e,
-                    height, width, pixel_border, z_eps, sigma_pixel,
-                    sigma_depth, C_thresh, Q_thresh, edge_valid=f,
+            Bc, gi, gj = jax.vmap(
+                lambda a, b, cdx, zl, wp, wd: _edge_terms(
+                    T, Xs, K, a, b, cdx, zl, wp, wd,
+                    height, width, pixel_border, z_eps,
                 )
-            )(e_ii, e_jj, sl(idx_ii2jj), sl(valid_match), sl(Q),
-              sl(edge_valid))
+            )(e_ii, e_jj, sl(ind_all), sl(zi_log_all), sl(swp_all),
+              sl(swd_all))
             gacc = gacc.at[e_ii].add(gi)
             gacc = gacc.at[e_jj].add(gj)
             return gacc, Bc
@@ -397,27 +454,21 @@ class FactorGraph:
         self.h, self.w = hw
         self.ii: list[int] = []       # undirected pairs (bookkeeping)
         self.jj: list[int] = []
-        # directed edge store in preallocated capacity arrays (each kept
-        # pair occupies two rows, one per direction) — appends are O(row),
-        # not O(E*HW) re-concatenations
-        n = self.h * self.w
+        # directed edge store: per-edge SCALAR metadata on host (each kept
+        # pair occupies two rows, one per direction); the O(HW) payloads
+        # (match index map, validity, Q) live ONLY on device — they are
+        # produced there by the matching cascade and consumed there by the
+        # solver, so any host copy would be a pure d2h+h2d roundtrip on the
+        # per-keyframe critical path (~19 MB per keyframe over PCIe)
         self._cap = 16
         self.n_directed = 0
         self.e_ii = np.zeros(self._cap, np.int32)
         self.e_jj = np.zeros(self._cap, np.int32)
-        self.e_idx = np.zeros((self._cap, n), np.int32)
-        self.e_vm = np.zeros((self._cap, n), bool)
-        self.e_q = np.zeros((self._cap, n), np.float32)
         self.e_valid = np.zeros(self._cap, bool)
-        # device mirror: edge payloads and per-keyframe pointmaps stay
-        # resident in HBM and are appended/synced incrementally — without
-        # this every solve re-uploads O(E*HW + P*HW) over PCIe, which
-        # dominated per-keyframe time at scale (reference keeps keyframes
-        # and the factor graph on the GPU for the same reason)
         self._dev_edges: dict = {}          # 'idx','vm','q' (capE, HW) jnp
         self._dev_ecap = 0
-        self._n_dev_edges = 0
-        self._dev_X = None                  # (capP, HW, 3) jnp, ray-constrained
+        # per-keyframe pointmap mirror, device-resident + version-synced
+        self._dev_X = None                  # (capP, HW, 3) jnp
         self._dev_C = None                  # (capP, HW, 1) jnp
         self._kf_slot: dict = {}            # keyframe id -> device slot
         self._slot_version: dict = {}       # keyframe id -> synced version
@@ -431,7 +482,6 @@ class FactorGraph:
         if need <= self._cap:
             return
         new_cap = self._pow2(need, lo=self._cap * 2)
-        n = self.h * self.w
 
         def grow(a, shape, dtype):
             out = np.zeros(shape, dtype)
@@ -440,20 +490,49 @@ class FactorGraph:
 
         self.e_ii = grow(self.e_ii, (new_cap,), np.int32)
         self.e_jj = grow(self.e_jj, (new_cap,), np.int32)
-        self.e_idx = grow(self.e_idx, (new_cap, n), np.int32)
-        self.e_vm = grow(self.e_vm, (new_cap, n), bool)
-        self.e_q = grow(self.e_q, (new_cap, n), np.float32)
         self.e_valid = grow(self.e_valid, (new_cap,), bool)
         self._cap = new_cap
 
+    def _ensure_dev_capacity(self, need: int):
+        import jax.numpy as jnp
+
+        if need <= self._dev_ecap:
+            return
+        n = self.h * self.w
+        newcap = self._pow2(need, lo=max(16, self._dev_ecap * 2))
+        old = self._dev_edges
+        self._dev_edges = {
+            "idx": jnp.zeros((newcap, n), jnp.int32),
+            "vm": jnp.zeros((newcap, n), jnp.bool_),
+            "q": jnp.zeros((newcap, n), jnp.float32),
+        }
+        if old:
+            for k in self._dev_edges:
+                self._dev_edges[k] = (
+                    self._dev_edges[k].at[: self._dev_ecap].set(old[k])
+                )
+        self._dev_ecap = newcap
+
     def _append_directed(self, i, j, idx, vm, q):
+        """Append one directed edge; payload rows may be host or device
+        arrays (one-row scatter — used by tests and the reloc path)."""
+        import jax.numpy as jnp
+
+        self._ensure_capacity(1)
+        self._ensure_dev_capacity(self.n_directed + 1)
         k = self.n_directed
         self.e_ii[k] = i
         self.e_jj[k] = j
-        self.e_idx[k] = idx
-        self.e_vm[k] = vm
-        self.e_q[k] = q
         self.e_valid[k] = True
+        rows = jnp.asarray([k])
+        self._dev_edges["idx"] = self._scatter_rows(
+            self._dev_edges["idx"], rows,
+            jnp.asarray(idx, jnp.int32)[None])
+        self._dev_edges["vm"] = self._scatter_rows(
+            self._dev_edges["vm"], rows, jnp.asarray(vm, bool)[None])
+        self._dev_edges["q"] = self._scatter_rows(
+            self._dev_edges["q"], rows,
+            jnp.asarray(q, jnp.float32)[None])
         self.n_directed += 1
 
     # -- device mirror -------------------------------------------------------
@@ -467,37 +546,6 @@ class FactorGraph:
                 lambda a, i, v: a.at[i].set(v), donate_argnums=0
             )
         return FactorGraph._scatter_jit(a, rows_idx, rows)
-
-    def _sync_edges_device(self):
-        """Append host edge rows [n_dev_edges, n_directed) to the device
-        mirror (one batched scatter; capacities grow by doubling)."""
-        import jax.numpy as jnp
-
-        n = self.h * self.w
-        if self.n_directed > self._dev_ecap:
-            newcap = self._pow2(self.n_directed, lo=max(16, self._dev_ecap * 2))
-            old = self._dev_edges
-            self._dev_edges = {
-                "idx": jnp.zeros((newcap, n), jnp.int32),
-                "vm": jnp.zeros((newcap, n), jnp.bool_),
-                "q": jnp.zeros((newcap, n), jnp.float32),
-            }
-            if old:
-                for k in self._dev_edges:
-                    self._dev_edges[k] = (
-                        self._dev_edges[k].at[: self._dev_ecap].set(old[k])
-                    )
-            self._dev_ecap = newcap
-        s, e = self._n_dev_edges, self.n_directed
-        if s == e:
-            return
-        rows_idx = jnp.arange(s, e)
-        for name, host in (("idx", self.e_idx), ("vm", self.e_vm),
-                           ("q", self.e_q)):
-            self._dev_edges[name] = self._scatter_rows(
-                self._dev_edges[name], rows_idx, jnp.asarray(host[s:e])
-            )
-        self._n_dev_edges = e
 
     def _sync_poses_device(self, uniq):
         """Assign device slots to keyframes and (re)upload pointmaps whose
@@ -520,18 +568,36 @@ class FactorGraph:
                  if self._slot_version.get(int(k))
                  != int(self.keyframes.version[k])]
         if stale:
+            # payloads are already device-resident in the store: stack +
+            # scatter is a pure on-device move, no host hop
             slots = jnp.asarray([self._kf_slot[k] for k in stale])
-            Xrows = np.stack([self.keyframes.X[k] for k in stale])
-            Crows = np.stack([
-                self.keyframes.C[k] / max(int(self.keyframes.N[k]), 1)
+            Xrows = jnp.stack([self.keyframes.X_dev(k) for k in stale])
+            Crows = jnp.stack([
+                self.keyframes.C_dev(k)
+                / jnp.maximum(self.keyframes.N_dev(k), 1).astype(jnp.float32)
                 for k in stale
             ])
-            self._dev_X = self._scatter_rows(self._dev_X, slots,
-                                             jnp.asarray(Xrows))
-            self._dev_C = self._scatter_rows(self._dev_C, slots,
-                                             jnp.asarray(Crows))
+            self._dev_X = self._scatter_rows(self._dev_X, slots, Xrows)
+            self._dev_C = self._scatter_rows(self._dev_C, slots, Crows)
             for k in stale:
                 self._slot_version[k] = int(self.keyframes.version[k])
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("q_conf",))
+    def _edge_post(idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij,
+                   q_conf: float):
+        """Two-way match quality on device; only the per-edge fractions
+        cross to the host (2*b floats instead of ~19 MB of payloads)."""
+        Qj = jnp.sqrt(
+            jnp.take_along_axis(Qii[..., 0], idx_i2j, axis=1) * Qji[..., 0]
+        )
+        Qi = jnp.sqrt(
+            jnp.take_along_axis(Qjj[..., 0], idx_j2i, axis=1) * Qij[..., 0]
+        )
+        valid_j = vm_j[..., 0] & (Qj > q_conf)
+        valid_i = vm_i[..., 0] & (Qi > q_conf)
+        fracs = jnp.stack([valid_j.mean(axis=1), valid_i.mean(axis=1)])
+        return Qj, Qi, fracs
 
     def add_factors(self, ii: list, jj: list, min_match_frac: float,
                     is_reloc: bool = False) -> bool:
@@ -557,21 +623,17 @@ class FactorGraph:
             self.runner.match_symmetric(feat_i, pos_i, feat_j, pos_j,
                                         (self.h, self.w))
         )
-        idx_i2j = np.asarray(idx_i2j)
-        idx_j2i = np.asarray(idx_j2i)
-        vm_j = np.asarray(vm_j)[..., 0]
-        vm_i = np.asarray(vm_i)[..., 0]
-        Qii_, Qjj_ = np.asarray(Qii)[..., 0], np.asarray(Qjj)[..., 0]
-        Qji_, Qij_ = np.asarray(Qji)[..., 0], np.asarray(Qij)[..., 0]
-
-        b = len(ii)
-        rows = np.arange(idx_i2j.shape[1])
-        Qj = np.sqrt(Qii_[np.arange(b)[:, None], idx_i2j] * Qji_)
-        Qi = np.sqrt(Qjj_[np.arange(b)[:, None], idx_j2i] * Qij_)
-        valid_j = vm_j & (Qj > self.cfg["Q_conf"])
-        valid_i = vm_i & (Qi > self.cfg["Q_conf"])
-        frac_j = valid_j.mean(axis=1)
-        frac_i = valid_i.mean(axis=1)
+        idx_i2j = jnp.asarray(idx_i2j)
+        idx_j2i = jnp.asarray(idx_j2i)
+        vm_j = jnp.asarray(vm_j)
+        vm_i = jnp.asarray(vm_i)
+        Qj, Qi, fracs = self._edge_post(
+            idx_i2j, idx_j2i, vm_j, vm_i,
+            jnp.asarray(Qii), jnp.asarray(Qjj), jnp.asarray(Qji),
+            jnp.asarray(Qij), q_conf=float(self.cfg["Q_conf"]),
+        )
+        fracs = np.asarray(fracs)       # (2, b) — the only payload pulled
+        frac_j, frac_i = fracs[0], fracs[1]
 
         ii_arr = np.asarray(ii)
         jj_arr = np.asarray(jj)
@@ -585,14 +647,32 @@ class FactorGraph:
             return False
 
         kept = np.flatnonzero(keep)
-        self._ensure_capacity(2 * kept.size)
+        nk = kept.size
+        self._ensure_capacity(2 * nk)
+        self._ensure_dev_capacity(self.n_directed + 2 * nk)
+        # both directions per kept pair (two-way prep, global_opt.py:130-136):
+        # rows [n, n+nk) hold i->j, rows [n+nk, n+2nk) hold j->i
+        base = self.n_directed
+        kj = jnp.asarray(kept)
+        rows = jnp.arange(base, base + 2 * nk)
+        self._dev_edges["idx"] = self._scatter_rows(
+            self._dev_edges["idx"], rows,
+            jnp.concatenate([idx_i2j[kj], idx_j2i[kj]], axis=0))
+        self._dev_edges["vm"] = self._scatter_rows(
+            self._dev_edges["vm"], rows,
+            jnp.concatenate([vm_j[kj, :, 0], vm_i[kj, :, 0]], axis=0))
+        self._dev_edges["q"] = self._scatter_rows(
+            self._dev_edges["q"], rows,
+            jnp.concatenate([Qj[kj], Qi[kj]], axis=0))
+        self.e_ii[base: base + nk] = ii_arr[kept]
+        self.e_jj[base: base + nk] = jj_arr[kept]
+        self.e_ii[base + nk: base + 2 * nk] = jj_arr[kept]
+        self.e_jj[base + nk: base + 2 * nk] = ii_arr[kept]
+        self.e_valid[base: base + 2 * nk] = True
+        self.n_directed += 2 * nk
         for r in kept:
-            i, j = int(ii_arr[r]), int(jj_arr[r])
-            # both directions (reference two-way prep, global_opt.py:130-136)
-            self._append_directed(i, j, idx_i2j[r], vm_j[r], Qj[r])
-            self._append_directed(j, i, idx_j2i[r], vm_i[r], Qi[r])
-            self.ii.append(i)
-            self.jj.append(j)
+            self.ii.append(int(ii_arr[r]))
+            self.jj.append(int(jj_arr[r]))
         return True
 
     @staticmethod
@@ -619,9 +699,8 @@ class FactorGraph:
 
         import jax.numpy as jnp
 
-        # incremental device sync: only new edges / changed pointmaps move
-        # over the host->device link
-        self._sync_edges_device()
+        # incremental device sync: edge payloads are already device-resident
+        # (written by add_factors); only changed pointmaps move host->device
         self._sync_poses_device(uniq)
 
         P = self._pow2(uniq.size)

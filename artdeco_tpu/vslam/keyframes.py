@@ -2,9 +2,14 @@
 
 Reference: ``VSLAM/SharedKeyframes.py:13-134`` — a 2048-slot ring of shared-
 memory tensors used across the 3-process pipeline.  The TPU rebuild is a
-single host process, so this is a plain host-side numpy SoA (no locks, no
-shared memory); device code receives contiguous jnp views of the slices it
-needs.  The fixed capacity is what keeps downstream XLA shapes static.
+single host process, so scalar metadata (poses, timestamps, versions) is a
+host numpy SoA, while the O(H*W) payloads (image, pointmap, confidence)
+stay as DEVICE arrays stored by reference: they are produced on device by
+the model/tracker and consumed on device by the matcher/solver, so copying
+them through host memory would put two slow PCIe hops on the per-frame
+critical path (the reference likewise keeps keyframe tensors GPU-resident
+via ``device_shared``).  The fixed capacity keeps downstream XLA shapes
+static.
 """
 
 from __future__ import annotations
@@ -15,13 +20,6 @@ from typing import Optional
 import numpy as np
 
 from artdeco_tpu.vslam.frame import Frame
-
-
-@dataclasses.dataclass
-class DensePoint:
-    index: int
-    point_map: np.ndarray  # (H, W, 3)
-    point_conf: np.ndarray  # (H, W, 1)
 
 
 class KeyframeStore:
@@ -36,21 +34,19 @@ class KeyframeStore:
         self.dataset_idx = np.zeros(buffer, np.int32)
         self.cam_id = np.zeros(buffer, np.int32)
         self.timestamp = np.zeros(buffer, np.float64)
-        self.img = np.zeros((buffer, 3, h, w), dtype)
         self.T_WC = np.tile(
             np.asarray([0, 0, 0, 0, 0, 0, 1, 1], dtype), (buffer, 1)
         )
-        self.X = np.zeros((buffer, h * w, 3), dtype)
-        self.C = np.zeros((buffer, h * w, 1), dtype)
-        self.N = np.zeros(buffer, np.int32)
         self.is_dirty = np.zeros(buffer, bool)
         # monotonically-increasing pointmap version per slot, for consumers
         # (e.g. the factor graph's device mirror) to sync lazily
         self.version = np.zeros(buffer, np.int64)
         self.K = None if K_slam is None else np.asarray(K_slam, dtype)
-        # dense points for the mapper (rgb-less: xyz + conf)
-        self.dense_point = np.zeros((buffer, h, w, 4), dtype)
-        self.ready_for_map = np.zeros(buffer, bool)
+        # device-resident payloads, stored by reference (no copies)
+        self._img: dict[int, object] = {}
+        self._X: dict[int, object] = {}
+        self._C: dict[int, object] = {}
+        self._N: dict[int, object] = {}
         # cached MASt3R encoder embeddings (feat, pos) per keyframe
         self._embeddings: dict[int, tuple] = {}
 
@@ -60,28 +56,42 @@ class KeyframeStore:
     def __getitem__(self, idx: int) -> Frame:
         import jax.numpy as jnp
 
-        f = Frame(
-            img=jnp.asarray(self.img[idx]),
+        return Frame(
+            img=self._img[idx],
             T_WC=jnp.asarray(self.T_WC[idx]),
-            X_canon=jnp.asarray(self.X[idx]),
-            C=jnp.asarray(self.C[idx]),
-            N=jnp.asarray(self.N[idx]),
+            X_canon=self._X[idx],
+            C=self._C[idx],
+            N=self._N[idx],
             frame_id=int(self.dataset_idx[idx]),
             frame_time=float(self.timestamp[idx]),
         )
-        return f
 
     def __setitem__(self, idx: int, f: Frame) -> None:
+        import jax.numpy as jnp
+
         self.n_size = max(idx + 1, self.n_size)
         self.dataset_idx[idx] = f.frame_id
         self.timestamp[idx] = f.frame_time
-        self.img[idx] = np.asarray(f.img)
         self.T_WC[idx] = np.asarray(f.T_WC).reshape(8)
-        self.X[idx] = np.asarray(f.X_canon)
-        self.C[idx] = np.asarray(f.C)
-        self.N[idx] = int(f.N)
+        self._img[idx] = jnp.asarray(f.img)
+        self._X[idx] = jnp.asarray(f.X_canon)
+        self._C[idx] = jnp.asarray(f.C)
+        self._N[idx] = jnp.asarray(f.N)
         self.is_dirty[idx] = True
         self.version[idx] += 1
+
+    # device payload accessors (zero-copy)
+    def X_dev(self, idx: int):
+        return self._X[idx]
+
+    def C_dev(self, idx: int):
+        return self._C[idx]
+
+    def N_dev(self, idx: int):
+        return self._N[idx]
+
+    def img_dev(self, idx: int):
+        return self._img[idx]
 
     def append(self, f: Frame) -> int:
         idx = self.n_size
@@ -89,7 +99,10 @@ class KeyframeStore:
         return idx
 
     def pop_last(self) -> None:
+        idx = self.n_size - 1
         self.n_size -= 1
+        for d in (self._img, self._X, self._C, self._N, self._embeddings):
+            d.pop(idx, None)
 
     def last_keyframe(self) -> Optional[Frame]:
         if self.n_size == 0:
@@ -106,14 +119,6 @@ class KeyframeStore:
         idx = np.where(self.is_dirty)[0]
         self.is_dirty[:] = False
         return idx
-
-    # -- dense points for the mapper ------------------------------------
-    def put_dense_point(self, index: int, dense: np.ndarray) -> None:
-        self.dense_point[index] = dense
-        self.ready_for_map[index] = True
-
-    def get_dense_point(self, index: int) -> np.ndarray:
-        return self.dense_point[index]
 
     # -- encoder embedding cache (Backend.py:38,214) --------------------
     def put_embedding(self, index: int, feat, pos) -> None:

@@ -306,14 +306,22 @@ def test_factor_graph_capacity_growth():
     fg = FactorGraph(cfg, runner=None, keyframes=None, K=K, hw=(4, 5))
     n = 20
     rng = np.random.RandomState(0)
+    idx_rows, q_rows = [], []
     for e in range(40):
-        fg._ensure_capacity(2)
-        fg._append_directed(e, e + 1, rng.randint(0, n, n),
-                            rng.rand(n) > 0.5, rng.rand(n))
-        fg._append_directed(e + 1, e, rng.randint(0, n, n),
-                            rng.rand(n) > 0.5, rng.rand(n))
+        for (i, j) in ((e, e + 1), (e + 1, e)):
+            idx = rng.randint(0, n, n)
+            q = rng.rand(n).astype(np.float32)
+            idx_rows.append(idx)
+            q_rows.append(q)
+            fg._append_directed(i, j, idx, rng.rand(n) > 0.5, q)
     assert fg.n_directed == 80
     assert fg._cap >= 80
+    assert fg._dev_ecap >= 80
     assert fg.e_valid[:80].all() and not fg.e_valid[80:].any()
     assert (fg.e_ii[:80:2] == np.arange(40)).all()
     assert (fg.e_jj[1:80:2] == np.arange(40)).all()
+    # payload rows live on device and must survive capacity doubling
+    np.testing.assert_array_equal(
+        np.asarray(fg._dev_edges["idx"][:80]), np.stack(idx_rows))
+    np.testing.assert_allclose(
+        np.asarray(fg._dev_edges["q"][:80]), np.stack(q_rows), rtol=1e-6)
