@@ -97,8 +97,16 @@ class OracleRunner:
             return hit
         T = self._poses[fid]
         Xw = self._np_sim3_act(T, self._pointmap(fid))
+        # non-harmonic frequency bank: a single frequency aliases within the
+        # refine_matches search window (radius*dilation_max = +-20 px), which
+        # let ~5% of matches lock on a false +16 px optimum and biased the
+        # whole pose pipeline; mixing incommensurate scales makes the world
+        # position globally unique at sub-pixel sharpness
+        freqs = np.asarray([2.3, 7.1, 19.7, 41.3], np.float32)
+        ang = Xw[:, :, None] * freqs  # (N, 3, F)
         f = np.concatenate(
-            [np.sin(Xw * 40.0), np.cos(Xw * 40.0)], axis=-1
+            [np.sin(ang).reshape(len(Xw), -1),
+             np.cos(ang).reshape(len(Xw), -1)], axis=-1
         ).astype(np.float32)
         out = f / np.linalg.norm(f, axis=-1, keepdims=True)
         self._desc_cache[fid] = out
@@ -156,40 +164,31 @@ class OracleRunner:
         )
 
     def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, hw):
+        """Both directions of every edge in ONE batched match call (mirrors
+        Mast3rRunner.match_symmetric's batched decode+match)."""
         b = np.asarray(feat_i).shape[0]
         h, w = hw
-        idx_i2j = []
-        idx_j2i = []
-        vj = []
-        vi = []
-        for e in range(b):
-            fi = int(np.asarray(feat_i)[e, 0, 0])
-            fj = int(np.asarray(feat_j)[e, 0, 0])
-            Xii = self._pointmap(fi)
-            Xji = self._cross_pointmap(fj, fi)
-            Xjj = self._pointmap(fj)
-            Xij = self._cross_pointmap(fi, fj)
-            Dii, Djj = self._desc(fi), self._desc(fj)
-            a, va = matching.match(
-                self.match_cfg,
-                jnp.asarray(Xii).reshape(1, h, w, 3),
-                jnp.asarray(Xji).reshape(1, h, w, 3),
-                jnp.asarray(Dii).reshape(1, h, w, -1),
-                jnp.asarray(Djj).reshape(1, h, w, -1),
-            )
-            c, vc = matching.match(
-                self.match_cfg,
-                jnp.asarray(Xjj).reshape(1, h, w, 3),
-                jnp.asarray(Xij).reshape(1, h, w, 3),
-                jnp.asarray(Djj).reshape(1, h, w, -1),
-                jnp.asarray(Dii).reshape(1, h, w, -1),
-            )
-            idx_i2j.append(a[0])
-            idx_j2i.append(c[0])
-            vj.append(va[0])
-            vi.append(vc[0])
-        Qc = jnp.full((b, h * w, 1), self.conf_value)
-        return (
-            jnp.stack(idx_i2j), jnp.stack(idx_j2i),
-            jnp.stack(vj), jnp.stack(vi), Qc, Qc, Qc, Qc,
+        fis = [int(np.asarray(feat_i)[e, 0, 0]) for e in range(b)]
+        fjs = [int(np.asarray(feat_j)[e, 0, 0]) for e in range(b)]
+        # rows [0,b): i->j (X11=Xii, X21=Xji, D21=Djj);
+        # rows [b,2b): j->i (X11=Xjj, X21=Xij, D21=Dii)
+        X11 = np.stack([self._pointmap(f) for f in fis]
+                       + [self._pointmap(f) for f in fjs])
+        X21 = np.stack([self._cross_pointmap(fj, fi)
+                        for fi, fj in zip(fis, fjs)]
+                       + [self._cross_pointmap(fi, fj)
+                          for fi, fj in zip(fis, fjs)])
+        D11 = np.stack([self._desc(f) for f in fis]
+                       + [self._desc(f) for f in fjs])
+        D21 = np.stack([self._desc(f) for f in fjs]
+                       + [self._desc(f) for f in fis])
+        d = D11.shape[-1]
+        idx, valid = matching.match(
+            self.match_cfg,
+            jnp.asarray(X11.reshape(2 * b, h, w, 3)),
+            jnp.asarray(X21.reshape(2 * b, h, w, 3)),
+            jnp.asarray(D11.reshape(2 * b, h, w, d)),
+            jnp.asarray(D21.reshape(2 * b, h, w, d)),
         )
+        Qc = jnp.full((b, h * w, 1), self.conf_value)
+        return (idx[:b], idx[b:], valid[:b], valid[b:], Qc, Qc, Qc, Qc)

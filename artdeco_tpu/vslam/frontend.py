@@ -63,65 +63,44 @@ class CameraTracker:
             embeddings_j=self.last_embedding,
         )
         self.idx_f2k = idx_f2k
-        idx = idx_f2k[0]
-        vmk = valid_match_k[0]
-        Qk = jnp.sqrt(Qff[idx] * Qkf)
 
-        frame = frame.update_pointmap(Xff, Cff)
-
-        (Xf_m, Xf_cov, Xk, Xk_cov, Cf_m, Ck, meas_k, valid_meas_k) = (
-            trk.prep_track_measurements(
-                frame.X_canon, keyframe.X_canon, frame.get_average_conf(),
-                keyframe.get_average_conf(), idx, self.K_slam,
-                (self.H_slam, self.W_slam), depth_eps=self.cfg.depth_eps,
+        # everything after matching is ONE fused device step + ONE pull of
+        # 5 scalars (tracker.track_step)
+        (fX, fC, fN, T_WCf, T_CkCf, K_new, kX, kC, kN, flags) = (
+            trk.track_step(
+                Xff, Cff, frame.X_canon, frame.C, frame.N,
+                Xkf, Ckf, keyframe.X_canon, keyframe.C, keyframe.N,
+                idx_f2k[0], valid_match_k[0], Qff, Qkf,
+                frame.T_WC, keyframe.T_WC, self.K_slam,
+                jnp.asarray(self.last_dist, jnp.float32),
+                float(self.min_displacement),
+                (self.H_slam, self.W_slam), self.cfg,
+                thres_keyframe=float(self.thres_keyframe),
+                optimize_focal=self.optimize_focal,
+                covariance_filter=self.covariance_filter,
             )
         )
-
-        valid_Cf = Cf_m > self.cfg.C_conf
-        valid_Ck = Ck > self.cfg.C_conf
-        valid_Q = Qk > self.cfg.Q_conf
-        valid_opt = vmk & valid_Cf & valid_Ck & valid_Q
-        valid_kf = vmk & valid_Q
-
-        match_frac = float(valid_opt.mean())
-        if match_frac < self.cfg.min_match_frac:
-            return frame, True, False, False
-
-        T_WCf, T_CkCf, K_new, ok = trk.opt_pose_calib_sim3(
-            Xf_m, Xf_cov, Xk, frame.T_WC, keyframe.T_WC, Qk, valid_opt,
-            meas_k, valid_meas_k, idx, self.K_slam,
-            (self.H_slam, self.W_slam), self.cfg,
-            optimize_focal=self.optimize_focal,
-            covariance_filter=self.covariance_filter,
-        )
-        if not bool(ok):
+        match_frac, ok, is_kf_f, is_km_f, dist = np.asarray(flags).tolist()
+        frame = dataclasses.replace(frame, X_canon=fX, C=fC, N=fN)
+        if match_frac < self.cfg.min_match_frac or ok < 0.5:
             return frame, True, False, False
         if self.optimize_focal:
             self.K_slam = K_new
-        frame = dataclasses.replace(frame, T_WC=lie.sim3_normalize(T_WCf))
+        frame = dataclasses.replace(frame, T_WC=T_WCf)
 
         if self.point_fusion:
-            # transform matched frame points into the keyframe and fuse
-            # (CameraTracker.py:136-141)
-            Xkk = lie.sim3_act(T_CkCf, Xkf)
-            keyframe = keyframe.update_pointmap(Xkk, Ckf)
-            self.keyframes[kf_idx] = keyframe
+            # fused keyframe pointmap writeback (CameraTracker.py:136-141) —
+            # payloads are device references, no copies
+            self.keyframes.update_payload(kf_idx, kX, kC, kN)
 
-        is_keyframe = bool(trk.check_keyframe(
-            idx, valid_kf[:, 0], vmk, self.cfg.match_frac_thresh
-        ))
+        is_keyframe = is_kf_f > 0.5
         if is_keyframe:
             self.idx_f2k = None
             self.last_embedding = (featf, posf)
             is_keyframe_map = True
             self.last_dist = 0.0
         else:
-            is_km, dist = trk.check_keyframe_map(
-                idx, valid_opt, self.W_slam, self.H_slam,
-                self.thres_keyframe, jnp.asarray(self.last_dist),
-                self.min_displacement,
-            )
-            is_keyframe_map = bool(is_km)
+            is_keyframe_map = is_km_f > 0.5
             if is_keyframe_map:
                 self.last_dist = float(dist)
         return frame, False, is_keyframe, is_keyframe_map

@@ -42,7 +42,7 @@ def _clamp_step(dx, max_step: float = 1.0):
 
 def _edge_static(Xs, Cs, i_idx, j_idx, idx_ii2jj, valid_match, Q,
                  z_eps, sigma_pixel, sigma_depth, C_thresh, Q_thresh,
-                 edge_valid):
+                 edge_valid, point_stride=1):
     """Iteration-invariant per-edge data (hoisted out of the GN loop).
 
     The measured-point gather ``Xs[i][idx]`` is the expensive op on TPU
@@ -58,7 +58,7 @@ def _edge_static(Xs, Cs, i_idx, j_idx, idx_ii2jj, valid_match, Q,
     zi = Xs[i_idx][:, 2][ind]    # (HW,) measured z in frame i
     q = Q[:, 0]
     ci = Cs[i_idx][ind, 0]
-    cj = Cs[j_idx][:, 0]
+    cj = Cs[j_idx][::point_stride, 0]
     valid_zi = zi > z_eps
     valid = (
         valid_match & (q > Q_thresh) & (ci > C_thresh) & (cj > C_thresh)
@@ -72,7 +72,7 @@ def _edge_static(Xs, Cs, i_idx, j_idx, idx_ii2jj, valid_match, Q,
 
 def _edge_terms(T_wc, Xs, K, i_idx, j_idx, idx_ii2jj, zi_log,
                 sqrt_w_pix0, sqrt_w_dep0, height, width, pixel_border,
-                z_eps):
+                z_eps, point_stride=1):
     """Hessian blocks + gradients for ONE edge (calib_proj_kernel math).
 
     Static gating/weights come pre-reduced from :func:`_edge_static`; this
@@ -85,7 +85,7 @@ def _edge_terms(T_wc, Xs, K, i_idx, j_idx, idx_ii2jj, zi_log,
     Tij = lie.sim3_rel(Ti, Tj)
 
     ind = idx_ii2jj
-    Xj = Xs[j_idx]               # (HW, 3)
+    Xj = Xs[j_idx][::point_stride]   # (HW/stride, 3)
     Xj_Ci = lie.sim3_act(Tij, Xj)
 
     fx, fy = K[0, 0], K[1, 1]
@@ -157,7 +157,8 @@ def _edge_terms(T_wc, Xs, K, i_idx, j_idx, idx_ii2jj, zi_log,
 
 @partial(
     jax.jit,
-    static_argnames=("height", "width", "max_iter", "num_fix", "chunk"),
+    static_argnames=("height", "width", "max_iter", "num_fix", "chunk",
+                     "point_stride"),
 )
 def gauss_newton_calib(
     T_wc: jax.Array,        # (P, 8) Sim3 poses (padded; first num_fix fixed)
@@ -183,14 +184,24 @@ def gauss_newton_calib(
     delta_thresh: float = 1e-8,
     num_fix: int = 1,
     chunk: int = 8,
+    point_stride: int = 1,
 ):
     """Global Sim(3) pose-graph GN (gauss_newton_calib_cuda semantics).
+
+    ``point_stride`` subsamples the per-edge residual set (every stride-th
+    target pixel).  The reference uses every pixel (~147k residuals/edge),
+    which over-determines a 7-DoF pose by 4 orders of magnitude; striding
+    cuts HBM traffic proportionally with negligible estimator variance.
 
     Returns updated poses (P, 8).
     """
     P = T_wc.shape[0]
     E = ii.shape[0]
     D = 7
+    if point_stride > 1:
+        idx_ii2jj = idx_ii2jj[:, ::point_stride]
+        valid_match = valid_match[:, ::point_stride]
+        Q = Q[:, ::point_stride]
 
     free = pose_used & (jnp.arange(P) >= num_fix)  # optimizable poses
 
@@ -201,6 +212,7 @@ def gauss_newton_calib(
             lambda a, b, cdx, d, e, f: _edge_static(
                 Xs, Cs, a, b, cdx, d, e, z_eps, sigma_pixel, sigma_depth,
                 C_thresh, Q_thresh, edge_valid=f,
+                point_stride=point_stride,
             )
         )(sl(ii), sl(jj), sl(idx_ii2jj), sl(valid_match), sl(Q),
           sl(edge_valid))
@@ -226,6 +238,7 @@ def gauss_newton_calib(
                 lambda a, b, cdx, zl, wp, wd: _edge_terms(
                     T, Xs, K, a, b, cdx, zl, wp, wd,
                     height, width, pixel_border, z_eps,
+                    point_stride=point_stride,
                 )
             )(e_ii, e_jj, sl(ind_all), sl(zi_log_all), sl(swp_all),
               sl(swd_all))
@@ -272,7 +285,7 @@ def gauss_newton_calib(
 @partial(
     jax.jit,
     static_argnames=("height", "width", "max_iter", "num_fix", "chunk",
-                     "pcg_iters"),
+                     "pcg_iters", "point_stride"),
 )
 def gauss_newton_calib_sparse(
     T_wc: jax.Array,        # (P, 8) Sim3 poses (padded; first num_fix fixed)
@@ -299,6 +312,7 @@ def gauss_newton_calib_sparse(
     num_fix: int = 1,
     chunk: int = 8,
     pcg_iters: int = None,
+    point_stride: int = 1,
 ):
     """Block-sparse Gauss-Newton for large pose counts.
 
@@ -320,6 +334,10 @@ def gauss_newton_calib_sparse(
     P = T_wc.shape[0]
     E = ii.shape[0]
     D = 7
+    if point_stride > 1:
+        idx_ii2jj = idx_ii2jj[:, ::point_stride]
+        valid_match = valid_match[:, ::point_stride]
+        Q = Q[:, ::point_stride]
     if pcg_iters is None:
         # CG on a chain-like pose graph needs ~O(P) iterations to carry
         # corrections across the graph diameter (block-Jacobi does not
@@ -336,6 +354,7 @@ def gauss_newton_calib_sparse(
             lambda a, b, cdx, d, e, f: _edge_static(
                 Xs, Cs, a, b, cdx, d, e, z_eps, sigma_pixel, sigma_depth,
                 C_thresh, Q_thresh, edge_valid=f,
+                point_stride=point_stride,
             )
         )(sl(ii), sl(jj), sl(idx_ii2jj), sl(valid_match), sl(Q),
           sl(edge_valid))
@@ -359,6 +378,7 @@ def gauss_newton_calib_sparse(
                 lambda a, b, cdx, zl, wp, wd: _edge_terms(
                     T, Xs, K, a, b, cdx, zl, wp, wd,
                     height, width, pixel_border, z_eps,
+                    point_stride=point_stride,
                 )
             )(e_ii, e_jj, sl(ind_all), sl(zi_log_all), sl(swp_all),
               sl(swd_all))
@@ -599,6 +619,11 @@ class FactorGraph:
         fracs = jnp.stack([valid_j.mean(axis=1), valid_i.mean(axis=1)])
         return Qj, Qi, fracs
 
+    # symmetric-match batches are padded to this many pairs so the matching
+    # cascade (and, with the real model, the decoder) compiles ONCE for a
+    # fixed batch shape instead of once per candidate count (1..1+k)
+    MATCH_PAD_PAIRS = 4
+
     def add_factors(self, ii: list, jj: list, min_match_frac: float,
                     is_reloc: bool = False) -> bool:
         """Symmetric-match candidate edges; keep those with two-way match
@@ -606,6 +631,13 @@ class FactorGraph:
         if not ii:
             return False
         import jax.numpy as jnp
+
+        n_real = len(ii)
+        pad_to = self.MATCH_PAD_PAIRS
+        while pad_to < n_real:
+            pad_to *= 2
+        ii = list(ii) + [ii[-1]] * (pad_to - n_real)
+        jj = list(jj) + [jj[-1]] * (pad_to - n_real)
 
         feat_i = jnp.concatenate(
             [self.keyframes.get_embedding(i)[0] for i in ii], axis=0
@@ -633,10 +665,10 @@ class FactorGraph:
             jnp.asarray(Qij), q_conf=float(self.cfg["Q_conf"]),
         )
         fracs = np.asarray(fracs)       # (2, b) — the only payload pulled
-        frac_j, frac_i = fracs[0], fracs[1]
+        frac_j, frac_i = fracs[0][:n_real], fracs[1][:n_real]
 
-        ii_arr = np.asarray(ii)
-        jj_arr = np.asarray(jj)
+        ii_arr = np.asarray(ii[:n_real])
+        jj_arr = np.asarray(jj[:n_real])
         invalid = np.minimum(frac_j, frac_i) < min_match_frac
         consecutive = ii_arr == (jj_arr - 1)
         invalid = (~consecutive) & invalid
@@ -747,6 +779,7 @@ class FactorGraph:
             max_iter=int(self.cfg["max_iters"]),
             delta_thresh=float(self.cfg["delta_norm"]),
             num_fix=1,
+            point_stride=int(self.cfg.get("point_stride", 1)),
         )
         T_new = np.asarray(T_new)
         # write back all but the pinned prefix (global_opt.py:231)

@@ -93,6 +93,14 @@ class KeyframeStore:
     def img_dev(self, idx: int):
         return self._img[idx]
 
+    def update_payload(self, idx: int, X, C, N) -> None:
+        """Update a slot's device payloads in place (no pose pull)."""
+        self._X[idx] = X
+        self._C[idx] = C
+        self._N[idx] = N
+        self.is_dirty[idx] = True
+        self.version[idx] += 1
+
     def append(self, f: Frame) -> int:
         idx = self.n_size
         self[idx] = f

@@ -248,6 +248,107 @@ def opt_pose_calib_sim3(
 
 
 # ---------------------------------------------------------------------------
+# Fused per-frame tracking step
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "img_size", "optimize_focal", "covariance_filter",
+                     "thres_keyframe"),
+)
+def track_step(
+    Xff: jax.Array,       # (HW, 3) new frame pointmap observation
+    Cff: jax.Array,       # (HW, 1)
+    fX: jax.Array,        # (HW, 3) frame fused pointmap state
+    fC: jax.Array,        # (HW, 1)
+    fN: jax.Array,        # () int32
+    Xkf: jax.Array,       # (HW, 3) cross-predicted keyframe points (frame view)
+    Ckf: jax.Array,       # (HW, 1)
+    kX: jax.Array,        # (HW, 3) keyframe fused pointmap state
+    kC: jax.Array,        # (HW, 1)
+    kN: jax.Array,        # () int32
+    idx_f2k: jax.Array,   # (HW,)
+    vmk: jax.Array,       # (HW, 1) bool
+    Qff: jax.Array,       # (HW, 1) frame desc-conf
+    Qkf: jax.Array,       # (HW, 1) keyframe-side desc-conf
+    T_WCf: jax.Array,     # (8,)
+    T_WCk: jax.Array,     # (8,)
+    K: jax.Array,
+    last_dist: jax.Array,  # ()
+    min_displacement: float,
+    img_size: tuple,
+    cfg: TrackingConfig,
+    thres_keyframe: float = 0.8,
+    optimize_focal: bool = False,
+    covariance_filter: bool = False,
+):
+    """The whole post-matching tracking step as ONE device computation
+    (reference CameraTracker.track:53-157 runs this as ~6 separate GPU
+    stages with host branches between them).  Fusing it means a single
+    dispatch and a single 5-scalar host pull per frame — on a tunneled
+    device each separate host sync costs ~25 ms.
+
+    Returns (fX', fC', fN', T_WCf', T_CkCf, K', kX', kC', kN',
+    flags (5,) f32 = [match_frac, ok, is_kf, is_kf_map, dist_q]).
+    """
+    # frame pointmap fusion (Frame.update_pointmap semantics)
+    first = fN == 0
+    denom = jnp.where(first, 1.0, fC + Cff)
+    fX2 = jnp.where(first, Xff, (fC * fX + Cff * Xff)
+                    / jnp.maximum(denom, 1e-12))
+    fC2 = jnp.where(first, Cff, fC + Cff)
+    fN2 = fN + 1
+    favg = fC2 / jnp.maximum(fN2, 1).astype(fC2.dtype)
+    kavg = kC / jnp.maximum(kN, 1).astype(kC.dtype)
+
+    Qk = jnp.sqrt(Qff[idx_f2k] * Qkf)
+    (Xf_m, Xf_cov, Xk_m, _Xk_cov, Cf_m, Ck_m, meas_k, valid_meas_k) = (
+        prep_track_measurements(
+            fX2, kX, favg, kavg, idx_f2k, K, img_size,
+            depth_eps=cfg.depth_eps,
+        )
+    )
+    valid_opt = vmk & (Cf_m > cfg.C_conf) & (Ck_m > cfg.C_conf) \
+        & (Qk > cfg.Q_conf)
+    valid_kf = vmk & (Qk > cfg.Q_conf)
+    match_frac = jnp.mean(valid_opt.astype(jnp.float32))
+
+    T_WCf2, T_CkCf, K2, ok = opt_pose_calib_sim3(
+        Xf_m, Xf_cov, Xk_m, T_WCf, T_WCk, Qk, valid_opt, meas_k,
+        valid_meas_k, idx_f2k, K, img_size, cfg,
+        optimize_focal=optimize_focal,
+        covariance_filter=covariance_filter,
+    )
+    T_WCf2 = lie.sim3_normalize(T_WCf2)
+
+    # keyframe point fusion (CameraTracker.py:136-141)
+    Xkk = lie.sim3_act(T_CkCf, Xkf)
+    kfirst = kN == 0
+    kdenom = jnp.where(kfirst, 1.0, kC + Ckf)
+    kX2 = jnp.where(kfirst, Xkk, (kC * kX + Ckf * Xkk)
+                    / jnp.maximum(kdenom, 1e-12))
+    kC2 = jnp.where(kfirst, Ckf, kC + Ckf)
+    kN2 = kN + 1
+
+    is_kf = check_keyframe(
+        idx_f2k, valid_kf[:, 0], vmk, cfg.match_frac_thresh
+    )
+    h, w = img_size
+    is_km, dq = check_keyframe_map(
+        idx_f2k, valid_opt, w, h, thres_keyframe, last_dist,
+        min_displacement,
+    )
+    flags = jnp.stack([
+        match_frac,
+        ok.astype(jnp.float32),
+        is_kf.astype(jnp.float32),
+        is_km.astype(jnp.float32),
+        dq.astype(jnp.float32),
+    ])
+    return fX2, fC2, fN2, T_WCf2, T_CkCf, K2, kX2, kC2, kN2, flags
+
+
+# ---------------------------------------------------------------------------
 # Measurement prep + keyframe decisions
 # ---------------------------------------------------------------------------
 
