@@ -99,9 +99,8 @@ def build_tile_bins(
     # static upper bound, rounded to a CHUNK multiple for the chunk-level map
     num_slots = -(-(n * kx * ky) // CHUNK) * CHUNK + num_tiles * CHUNK
 
-    # slot -> pair inverse map WITHOUT scatter (TPU scatters serialize) and
-    # with all small-table lookups at CHUNK granularity (TPU random gathers
-    # are slow; runs are CHUNK-aligned so per-chunk values broadcast).
+    # slot_valid from CHUNK-granular small-table lookups (runs are CHUNK-
+    # aligned so per-chunk values broadcast; the 577-entry gathers are cheap)
     num_chunk_slots = num_slots // CHUNK
     chunk_q = jnp.arange(num_chunk_slots, dtype=jnp.int32)
     chunk_starts = pad_starts // CHUNK
@@ -118,10 +117,32 @@ def build_tile_bins(
     slot_q = jnp.arange(num_slots, dtype=jnp.int32)
     off = slot_q - bcast(pad_starts)
     slot_valid = off < bcast(tile_counts)
-    pair_idx = jnp.minimum(
-        bcast(tile_starts) + off, pair_tile_s.shape[0] - 1
+
+    # slot_gauss by SCATTERING pairs to their slots: each sorted pair i of
+    # tile t lands at pad_starts[t] + (i - tile_starts[t]).  The per-pair
+    # table lookups are tiny (num_tiles entries); the unique-index scatter
+    # runs at memory bandwidth, unlike the 2.3M-element random GATHER of the
+    # inverse formulation (element-granular gathers were ~19 ms, 75% of the
+    # whole binning pass).
+    # dst = pair index + cumulative padding inserted before its tile.  The
+    # padding offset is a per-tile step function of pair position; building
+    # it with a tiny scatter + cumsum avoids per-pair table gathers (element-
+    # granular gathers over millions of rows run at ~1% of HBM bandwidth).
+    m_pairs = pair_tile_s.shape[0]
+    i_pair = jnp.arange(m_pairs, dtype=jnp.int32)
+    padoff = jnp.cumsum(pad_counts - tile_counts) - (pad_counts - tile_counts)
+    delta = jnp.diff(padoff, prepend=jnp.zeros((1,), padoff.dtype))
+    steps = jnp.zeros((m_pairs,), jnp.int32).at[tile_starts].add(
+        delta.astype(jnp.int32), mode="drop")
+    dst = i_pair + jnp.cumsum(steps)
+    dst = jnp.where(i_pair < num_pairs, dst, num_slots)  # drop invalid
+    # dst is monotonically non-decreasing (pairs are tile-sorted and runs
+    # are laid out in tile order) and unique — let XLA use the fast path
+    slot_gauss = (
+        jnp.zeros((num_slots,), jnp.int32)
+        .at[dst].set(pair_gauss_s, mode="drop", indices_are_sorted=True,
+                     unique_indices=True)
     )
-    slot_gauss = jnp.where(slot_valid, pair_gauss_s[pair_idx], 0)
     return TileBins(
         slot_gauss, slot_valid, pad_starts, pad_counts, tile_counts, num_pairs
     )
