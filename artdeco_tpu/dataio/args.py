@@ -75,6 +75,10 @@ def get_args(argv=None):
     p.add_argument("--use_all_frames", action="store_true")
     p.add_argument("--init_focal", type=float, default=-1.0)
     p.add_argument("--init_fov", type=float, default=-1.0)
+    # model-based self-calibration when no calib/focal/fov is given
+    # (replaces the reference's GeoCalib/COLMAP path, DatasetBasic.py:112-273)
+    p.add_argument("--auto_calib", action="store_true", default=True)
+    p.add_argument("--no_auto_calib", dest="auto_calib", action="store_false")
     p.add_argument("--checkpoint_path", type=str,
                    default="./models/mast3r_vit_large.safetensors")
     # retrieval head + codebook (utils_mast3r.py:20-28 default path) and Pi3
@@ -94,6 +98,9 @@ def get_args(argv=None):
     p.add_argument("--test_hold", type=int, default=-1)
     p.add_argument("--test_frequency", type=int, default=-1)
     p.add_argument("--display_runtimes", action="store_true")
+    # jax.profiler trace of the streaming loop (SURVEY §5 tracing hooks);
+    # view with tensorboard or xprof
+    p.add_argument("--profile_dir", type=str, default="")
     p.add_argument("-m", "--model_path", default="")
     p.add_argument("--save_every", default=-1, type=int)
     p.add_argument("--save_point_could", action="store_true")

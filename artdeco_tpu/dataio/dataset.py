@@ -66,6 +66,7 @@ class BaseDataset:
         }
 
         # calibration
+        self.calib_is_guess = False
         calib_path = getattr(args, "calib", None)
         if calib_path:
             with open(calib_path) as f:
@@ -81,6 +82,8 @@ class BaseDataset:
                     focal = 0.5 * W / np.tan(0.5 * np.deg2rad(fov))
                 else:
                     focal = 0.7 * W  # ~71 deg horizontal default guess
+                    # flag for model-based auto-calibration (System)
+                    self.calib_is_guess = True
             intrinsics = {
                 "width": W, "height": H,
                 "calibration": [focal, focal, W / 2, H / 2],
@@ -95,6 +98,8 @@ class BaseDataset:
         return img.shape[0], img.shape[1]
 
     def load_calib(self, intrinsics, max_size_slam=512, optimize_focal=False):
+        self._max_size_slam = max_size_slam
+        self._optimize_focal = optimize_focal
         self.transform = PinholeCamera(
             max_size_slam, self.downsampling, intrinsics["width"],
             intrinsics["height"], intrinsics["calibration"],
@@ -105,6 +110,22 @@ class BaseDataset:
         self.H_map, self.W_map = self.transform.H_map, self.transform.W_map
         self.K_slam = self.transform.K_slam
         self.K_map = self.transform.K_map
+
+    def recalibrate_focal(self, focal: float):
+        """Replace the focal guess with an estimated value (original-image
+        pixels) and rebuild the dual-resolution transforms.  Used by the
+        model-based auto-calibration (reference: GeoCalib/COLMAP estimation,
+        ``DatasetBasic.py:112-273``)."""
+        intrinsics = {
+            "width": self.W, "height": self.H,
+            "calibration": [float(focal), float(focal),
+                            self.W / 2, self.H / 2],
+        }
+        self.load_calib(
+            intrinsics,
+            max_size_slam=self._max_size_slam,
+            optimize_focal=self._optimize_focal,
+        )
 
     def __len__(self) -> int:
         return len(self.image_paths)

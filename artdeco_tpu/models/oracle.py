@@ -34,16 +34,40 @@ class OracleRunner:
         self._poses: Dict[int, np.ndarray] = {}
         self._pm_cache: Dict[int, np.ndarray] = {}
         self._desc_cache: Dict[int, np.ndarray] = {}
+        # device-resident copies: the host<->device link is the scarce
+        # resource (tens of MB/s over the tunnel), so pointmaps/descriptors
+        # upload ONCE per frame and every match runs on cached device arrays
+        # + on-device Sim3 transforms — exactly like the real model, whose
+        # outputs never leave the device
+        self._dev_cache: Dict[int, tuple] = {}
+        self._conf_dev = None
+        self._by_id: Dict[int, int] = {}
 
     # -- registration -------------------------------------------------------
-    def register(self, img, frame_id: int, T_wc_sim3: np.ndarray):
+    def register(self, img, frame_id: int, T_wc_sim3: np.ndarray,
+                 prewarm: bool = True):
         key = hashlib.sha1(np.asarray(img).tobytes()).digest()
         self._by_hash[key] = frame_id
         self._poses[frame_id] = np.asarray(T_wc_sim3, np.float32)
+        if prewarm:
+            # upload pointmap/descriptors NOW: the real model produces its
+            # outputs on device during inference, so per-frame uploads in
+            # the tracking loop would charge the oracle stand-in a transfer
+            # cost the model never pays
+            self._dev(frame_id)
 
     def _fid(self, img) -> int:
+        # id() fast path: the pipeline hands the same device array object to
+        # several calls per frame; hashing requires a ~60 ms d2h pull
+        hit = self._by_id.get(id(img))
+        if hit is not None:
+            return hit
         key = hashlib.sha1(np.asarray(img).tobytes()).digest()
-        return self._by_hash[key]
+        fid = self._by_hash[key]
+        self._by_id[id(img)] = fid
+        if len(self._by_id) > 64:
+            self._by_id.pop(next(iter(self._by_id)))
+        return fid
 
     # -- geometry (pure numpy + cached: the oracle must not cost device
     # transfers — it stands in for the model, whose cost is benched
@@ -115,6 +139,46 @@ class OracleRunner:
     def _conf(self):
         return np.full((self.h * self.w, 1), self.conf_value, np.float32)
 
+    # -- device caches -------------------------------------------------------
+    def _dev(self, fid: int):
+        """(X_cam (HW,3), desc (HW,F), T_WC (8,)) as device arrays."""
+        hit = self._dev_cache.get(fid)
+        if hit is None:
+            T = np.zeros(8, np.float32)
+            T[:] = self._poses[fid][:8] if self._poses[fid].shape[0] == 8 \
+                else np.concatenate([self._poses[fid], [1.0]])
+            hit = (
+                jnp.asarray(self._pointmap(fid)),
+                jnp.asarray(self._desc(fid)),
+                jnp.asarray(T),
+            )
+            self._dev_cache[fid] = hit
+        return hit
+
+    def _conf_device(self):
+        if self._conf_dev is None:
+            self._conf_dev = jnp.full(
+                (self.h * self.w, 1), self.conf_value, jnp.float32
+            )
+        return self._conf_dev
+
+    _cross_jit = None
+
+    def _cross_dev(self, fid_src: int, fid_dst: int):
+        """Frame src's points in dst's camera, computed on device (one jit
+        instead of a chain of eager dispatches)."""
+        Xs, _, Ts = self._dev(fid_src)
+        _, _, Td = self._dev(fid_dst)
+        if OracleRunner._cross_jit is None:
+            import jax
+
+            OracleRunner._cross_jit = jax.jit(
+                lambda Td, Ts, Xs: lie.sim3_act(
+                    lie.sim3_mul(lie.sim3_inv(Td), Ts), Xs
+                )
+            )
+        return OracleRunner._cross_jit(Td, Ts, Xs)
+
     # -- Mast3rRunner surface -------------------------------------------------
     def encode_image(self, img):
         fid = self._fid(np.asarray(img)[0] if np.asarray(img).ndim == 4
@@ -130,8 +194,8 @@ class OracleRunner:
 
     def inference_mono(self, img):
         fid = self._fid(img)
-        X = jnp.asarray(self._pointmap(fid))
-        C = jnp.asarray(self._conf())
+        X = self._dev(fid)[0]
+        C = self._conf_device()
         feat, pos = self.encode_image(img[None])
         return jnp.stack([X, X]), jnp.stack([C, C]), feat, pos
 
@@ -141,25 +205,25 @@ class OracleRunner:
             self._fid_from_feat(embeddings_i[0]))
         fj = self._fid(img_j) if embeddings_j is None else (
             self._fid_from_feat(embeddings_j[0]))
-        Xii = self._pointmap(fi)
-        Xji = self._cross_pointmap(fj, fi)
-        Dii = self._desc(fi)
-        Dji = self._desc(fj)
+        Xii, Dii, _ = self._dev(fi)
+        Xji = self._cross_dev(fj, fi)
+        Dji = self._dev(fj)[1]
         h, w = self.h, self.w
         idx, valid = matching.match(
             self.match_cfg,
-            jnp.asarray(Xii).reshape(1, h, w, 3),
-            jnp.asarray(Xji).reshape(1, h, w, 3),
-            jnp.asarray(Dii).reshape(1, h, w, -1),
-            jnp.asarray(Dji).reshape(1, h, w, -1),
+            Xii.reshape(1, h, w, 3),
+            Xji.reshape(1, h, w, 3),
+            Dii.reshape(1, h, w, -1),
+            Dji.reshape(1, h, w, -1),
             idx_1_to_2_init=idx_i2j_init,
         )
         feat, pos = np.zeros((1, 4, 4), np.float32), np.zeros((1, 4, 2), np.int32)
         feat[0, 0, 0] = fi
+        C = self._conf_device()
         return (
             idx, valid,
-            jnp.asarray(Xii), jnp.asarray(self._conf()), jnp.asarray(self._conf()),
-            jnp.asarray(Xji), jnp.asarray(self._conf()), jnp.asarray(self._conf()),
+            Xii, C, C,
+            Xji, C, C,
             jnp.asarray(feat), jnp.asarray(pos),
         )
 
@@ -171,24 +235,24 @@ class OracleRunner:
         fis = [int(np.asarray(feat_i)[e, 0, 0]) for e in range(b)]
         fjs = [int(np.asarray(feat_j)[e, 0, 0]) for e in range(b)]
         # rows [0,b): i->j (X11=Xii, X21=Xji, D21=Djj);
-        # rows [b,2b): j->i (X11=Xjj, X21=Xij, D21=Dii)
-        X11 = np.stack([self._pointmap(f) for f in fis]
-                       + [self._pointmap(f) for f in fjs])
-        X21 = np.stack([self._cross_pointmap(fj, fi)
-                        for fi, fj in zip(fis, fjs)]
-                       + [self._cross_pointmap(fi, fj)
-                          for fi, fj in zip(fis, fjs)])
-        D11 = np.stack([self._desc(f) for f in fis]
-                       + [self._desc(f) for f in fjs])
-        D21 = np.stack([self._desc(f) for f in fjs]
-                       + [self._desc(f) for f in fis])
+        # rows [b,2b): j->i (X11=Xjj, X21=Xij, D21=Dii) — all device stacks
+        X11 = jnp.stack([self._dev(f)[0] for f in fis]
+                        + [self._dev(f)[0] for f in fjs])
+        X21 = jnp.stack([self._cross_dev(fj, fi)
+                         for fi, fj in zip(fis, fjs)]
+                        + [self._cross_dev(fi, fj)
+                           for fi, fj in zip(fis, fjs)])
+        D11 = jnp.stack([self._dev(f)[1] for f in fis]
+                        + [self._dev(f)[1] for f in fjs])
+        D21 = jnp.stack([self._dev(f)[1] for f in fjs]
+                        + [self._dev(f)[1] for f in fis])
         d = D11.shape[-1]
         idx, valid = matching.match(
             self.match_cfg,
-            jnp.asarray(X11.reshape(2 * b, h, w, 3)),
-            jnp.asarray(X21.reshape(2 * b, h, w, 3)),
-            jnp.asarray(D11.reshape(2 * b, h, w, d)),
-            jnp.asarray(D21.reshape(2 * b, h, w, d)),
+            X11.reshape(2 * b, h, w, 3),
+            X21.reshape(2 * b, h, w, 3),
+            D11.reshape(2 * b, h, w, d),
+            D21.reshape(2 * b, h, w, d),
         )
         Qc = jnp.full((b, h * w, 1), self.conf_value)
         return (idx[:b], idx[b:], valid[:b], valid[b:], Qc, Qc, Qc, Qc)

@@ -193,15 +193,15 @@ def _iter_proj_single(
     lam0 = jnp.full_like(u0, lambda_init)
     conv0 = jnp.zeros(u0.shape, dtype=bool)
 
-    def ray_cost(u, v):
-        r = _bilinear_gather_packed(packed, 9, u, v, w, 0, 3)
-        r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
-        err = r - pts3d_norm
-        return jnp.sum(err * err, axis=-1), err
+    def gather_full(u, v):
+        return _bilinear_gather_packed(packed, 9, u, v, w)  # (n, 9)
 
     def body(_, carry):
-        u, v, lam, conv = carry
-        smp = _bilinear_gather_packed(packed, 9, u, v, w)  # (n, 9)
+        # smp is the 9-channel sample AT the current (u, v): the candidate-
+        # position gather doubles as the next iteration's current-position
+        # gather on accept (and the rejected position's sample is already in
+        # the carry), so each LM step costs ONE gather instead of two
+        u, v, lam, conv, smp = carry
         r, gx, gy = smp[:, 0:3], smp[:, 3:6], smp[:, 6:9]
         r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
         err = r - pts3d_norm
@@ -219,21 +219,26 @@ def _iter_proj_single(
 
         u_new = jnp.clip(u + du, 1.0, w - 2.0)
         v_new = jnp.clip(v + dv, 1.0, h - 2.0)
-        new_cost, _ = ray_cost(u_new, v_new)
+        smp_new = gather_full(u_new, v_new)
+        r_new = smp_new[:, 0:3]
+        r_new = r_new / jnp.linalg.norm(r_new, axis=-1, keepdims=True)
+        err_new = r_new - pts3d_norm
+        new_cost = jnp.sum(err_new * err_new, axis=-1)
 
         accept = new_cost < cost
         u = jnp.where(accept, u_new, u)
         v = jnp.where(accept, v_new, v)
+        smp = jnp.where(accept[:, None], smp_new, smp)
         lam = jnp.where(accept, lam * 0.1, lam * 10.0)
         conv = jnp.where(accept, new_cost < cost_thresh, cost < cost_thresh)
-        return u, v, lam, conv
+        return u, v, lam, conv, smp
 
     # statically unrolled: gathers inside lax loops lower to slow serialized
     # TPU gathers, unrolling lets XLA pipeline them (~10x faster here)
-    carry = (u0, v0, lam0, conv0)
+    carry = (u0, v0, lam0, conv0, gather_full(u0, v0))
     for i in range(max_iter):
         carry = body(i, carry)
-    u, v, lam, conv = carry
+    u, v, lam, conv, _ = carry
     return jnp.stack([u, v], axis=-1), conv
 
 
@@ -302,31 +307,37 @@ def _refine_single(
         rd = radius * d
         P = jnp.pad(D11, ((rd, rd), (rd, rd), (0, 0)))
         lin0 = v0 * w + u0  # original-grid rows of the shifted stacks
-        # iteration order i (u) outer, j (v) inner; strict > keeps first max
-        for i in range(span):
-            du = -rd + i * d
-            # shifted-image stack for this u-offset column: (h*w, span*f)
-            stack = jnp.concatenate(
-                [
-                    # row start = (dv + rd) = j*d, col start = (du + rd)
-                    P[j * d : j * d + h, rd + du : rd + du + w]
-                    for j in range(span)
-                ],
-                axis=-1,
-            ).reshape(h * w, span * f)
-            feats = jnp.take(stack, lin0, axis=0).reshape(-1, span, f)
-            scores = jnp.einsum(
-                "njf,nf->nj", feats, D21,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            for j in range(span):
-                u = u0 + du
-                v = v0 - rd + j * d
-                upd = scores[:, j] > max_score
-                max_score = jnp.where(upd, scores[:, j], max_score)
-                u_new = jnp.where(upd, u, u_new)
-                v_new = jnp.where(upd, v, v_new)
+        # ALL span*span shifted images stacked channel-wise, then ONE wide-
+        # row gather at the per-pixel match positions: rows of span^2*f
+        # elements (~4 KB at bf16) stream at HBM bandwidth, where the
+        # previous per-u-column formulation issued span gathers of span*f
+        # (~400 B) rows per level and ran at a few percent of it.
+        # Offset order: i (u) outer, j (v) inner — ties resolve to the first
+        # maximum exactly like the CUDA kernel's loop nest
+        # (matching_kernels.cu:26-81).
+        stack = jnp.concatenate(
+            [
+                # row start = (dv + rd) = j*d, col start = (du + rd) = i*d
+                P[j * d : j * d + h, i * d : i * d + w]
+                for i in range(span)
+                for j in range(span)
+            ],
+            axis=-1,
+        ).reshape(h * w, span * span * f)
+        feats = jnp.take(stack, lin0, axis=0).reshape(-1, span * span, f)
+        scores = jnp.einsum(
+            "nof,nf->no", feats, D21,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        best = jnp.argmax(scores, axis=-1)  # first max wins (i outer, j inner)
+        best_score = jnp.take_along_axis(scores, best[:, None], axis=-1)[:, 0]
+        bi = (best // span).astype(jnp.int32)
+        bj = (best % span).astype(jnp.int32)
+        upd = best_score > max_score
+        max_score = jnp.where(upd, best_score, max_score)
+        u_new = jnp.where(upd, u0 - rd + bi * d, u_new)
+        v_new = jnp.where(upd, v0 - rd + bj * d, v_new)
         u0, v0 = u_new, v_new
 
     return jnp.stack([u_new, v_new], axis=-1)

@@ -133,6 +133,7 @@ class System:
         self.args = args
         self.config = config
         self.dataset = dataset
+        self._maybe_auto_calibrate(args, dataset, runner)
         self.keyframes = KeyframeStore(
             dataset.H_slam, dataset.W_slam, K_slam=dataset.K_slam,
         )
@@ -160,6 +161,46 @@ class System:
         self.start_time = None
         self.n_frames = 0
         self._map_cache: dict = {}   # frame_id -> map-res image (native path)
+
+    @staticmethod
+    def _maybe_auto_calibrate(args, dataset, runner):
+        """Model-based self-calibration when no intrinsics were given.
+
+        The reference shells out to GeoCalib / COLMAP
+        (``DatasetBasic.py:112-273``); the TPU-native system estimates the
+        focal from the pointmap network's own first-frame prediction
+        (Weiszfeld fit — DUSt3R's focal recovery), which costs one mono
+        inference instead of a second calibration network."""
+        if not getattr(dataset, "calib_is_guess", False):
+            return
+        if not getattr(args, "auto_calib", True):
+            return
+        if not hasattr(runner, "inference_mono"):
+            return
+        import jax.numpy as jnp
+
+        from artdeco_tpu.geometry.calibration import estimate_focal_weiszfeld
+
+        try:
+            img, _ = dataset[0]
+            img_slam = jnp.asarray(dataset.transform.to_slam(img))
+            X, C, _, _ = runner.inference_mono(img_slam)
+            h, w = dataset.H_slam, dataset.W_slam
+            conf = np.asarray(C[0][:, 0])
+            # keep the most-confident 70% (>= so a constant confidence map
+            # keeps everything)
+            valid = jnp.asarray(conf >= np.quantile(conf, 0.3))
+            f_slam = float(estimate_focal_weiszfeld(X[0], valid, h, w))
+            if not np.isfinite(f_slam) or f_slam <= 1.0:
+                raise ValueError(f"degenerate focal estimate {f_slam}")
+            # convert SLAM-res focal back to original-image pixels
+            # (scale_slam_w is original/slam, CameraModel.py convention)
+            f_orig = f_slam * dataset.transform.scale_slam_w
+            dataset.recalibrate_focal(f_orig)
+        except Exception as e:  # pragma: no cover - calibration is advisory
+            import warnings
+
+            warnings.warn(f"auto-calibration failed, keeping guess: {e}")
 
     # -- mapper message handling (run_system.py:143-271) -------------------
     def _handle_mapper_msg(self, m: dict):
@@ -278,17 +319,45 @@ class System:
                 bar = tqdm(total=len(self.dataset), desc="artdeco-tpu")
             except Exception:
                 bar = None
+        # optional jax.profiler trace (SURVEY §5: tracing/profiling hooks —
+        # the reference only has wall-clock tqdm counters; here each stage is
+        # additionally annotated in the device trace for xprof/tensorboard)
+        profile_dir = getattr(self.args, "profile_dir", "") or ""
+        if profile_dir:
+            import jax
+
+            jax.profiler.start_trace(profile_dir)
+            annotate = jax.profiler.TraceAnnotation
+        else:
+            import contextlib
+
+            annotate = lambda name: contextlib.nullcontext()
+        try:
+            self._stream_loop(it, bar, max_frames, annotate)
+        finally:
+            if profile_dir:
+                import jax
+
+                jax.profiler.stop_trace()
+        if bar is not None:
+            bar.close()
+        return self
+
+    def _stream_loop(self, it, bar, max_frames, annotate):
         for original_image, info in it:
             t0 = time.time()
-            msg = self.frontend.process_frame(original_image, info)
+            with annotate("frontend.track"):
+                msg = self.frontend.process_frame(original_image, info)
             self.runtimes.add("track", time.time() - t0)
             if msg is not None:
                 t0 = time.time()
-                mapper_msg = self.backend.process(msg)
+                with annotate("backend.process"):
+                    mapper_msg = self.backend.process(msg)
                 self.runtimes.add("backend", time.time() - t0)
                 if mapper_msg is not None:
                     t0 = time.time()
-                    self._handle_mapper_msg(mapper_msg)
+                    with annotate("mapper.step"):
+                        self._handle_mapper_msg(mapper_msg)
                     self.runtimes.add("map", time.time() - t0)
             self.n_frames += 1
             if bar is not None:
@@ -301,9 +370,6 @@ class System:
                 )
             if max_frames is not None and self.n_frames >= max_frames:
                 break
-        if bar is not None:
-            bar.close()
-        return self
 
     # -- outputs (Frontend.sav_results + h3dgsv3 metadata) -------------------
     def save(self, out_dir: str):

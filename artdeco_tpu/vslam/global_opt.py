@@ -558,12 +558,14 @@ class FactorGraph:
     # -- device mirror -------------------------------------------------------
     @staticmethod
     def _scatter_rows(a, rows_idx, rows):
-        """In-place (donated) row scatter on device."""
+        """In-place (donated) row scatter on device.  Out-of-range indices
+        drop (used to pad scatters to a fixed row count so the jit does not
+        retrace per kept-edge count)."""
         import jax
 
         if not hasattr(FactorGraph, "_scatter_jit"):
             FactorGraph._scatter_jit = jax.jit(
-                lambda a, i, v: a.at[i].set(v), donate_argnums=0
+                lambda a, i, v: a.at[i].set(v, mode="drop"), donate_argnums=0
             )
         return FactorGraph._scatter_jit(a, rows_idx, rows)
 
@@ -683,10 +685,15 @@ class FactorGraph:
         self._ensure_capacity(2 * nk)
         self._ensure_dev_capacity(self.n_directed + 2 * nk)
         # both directions per kept pair (two-way prep, global_opt.py:130-136):
-        # rows [n, n+nk) hold i->j, rows [n+nk, n+2nk) hold j->i
+        # rows [n, n+nk) hold i->j, rows [n+nk, n+2nk) hold j->i.
+        # The scatter is padded to a FIXED 2*pad_to rows (padding rows index
+        # past capacity and drop) so one jit shape serves every kept count.
         base = self.n_directed
-        kj = jnp.asarray(kept)
-        rows = jnp.arange(base, base + 2 * nk)
+        kj = jnp.asarray(np.concatenate([kept, np.zeros(pad_to - nk, np.int64)]))
+        dst = np.full(2 * pad_to, self._dev_ecap, np.int64)
+        dst[:nk] = base + np.arange(nk)
+        dst[pad_to: pad_to + nk] = base + nk + np.arange(nk)
+        rows = jnp.asarray(dst)
         self._dev_edges["idx"] = self._scatter_rows(
             self._dev_edges["idx"], rows,
             jnp.concatenate([idx_i2j[kj], idx_j2i[kj]], axis=0))

@@ -157,7 +157,7 @@ def bench_mast3r(h=384, w=512, iters=10):
 # 3. Oracle pipeline at realistic scale
 # ---------------------------------------------------------------------------
 
-def bench_pipeline(n_frames=48, width=1024, height=576):
+def bench_pipeline(n_frames=64, width=1024, height=576):
     import jax
 
     from artdeco_tpu.dataio.dataset import SyntheticDataset
@@ -184,7 +184,8 @@ def bench_pipeline(n_frames=48, width=1024, height=576):
     dataset = SyntheticDataset(args, n_frames=n_frames, width=width,
                                height=height)
     config = load_config("config/base.yaml")
-    # keyframe cadence ~1/8 frames at this gentle synthetic motion
+    # with exact oracle matches, 0.95 yields a keyframe every ~4-6 frames at
+    # this motion (4.1 px/frame) — the reference's TUM cadence ballpark
     config["tracking"]["match_frac_thresh"] = 0.95
 
     log(f"pipeline: slam {dataset.W_slam}x{dataset.H_slam}, "
@@ -207,7 +208,9 @@ def bench_pipeline(n_frames=48, width=1024, height=576):
     )
     system = System(args, config, dataset, runner, mapper_cfg=mcfg)
     # warmup: compile every stage on the first frames, then time the rest
-    warm = 6
+    # (recompiles on edge/pose capacity growth still land in the timed
+    # region and are amortized honestly over the run)
+    warm = 12
     t_start = time.time()
     per_frame = []
     stage = {"track": 0.0, "backend": 0.0, "map": 0.0}
@@ -242,6 +245,23 @@ def bench_pipeline(n_frames=48, width=1024, height=576):
         f"{1000 * stage['backend'] / nsteady:.0f} / map "
         f"{1000 * stage['map'] / nsteady:.0f}), {n_gauss} gaussians, "
         f"{len(system.keyframes)} keyframes, total {time.time() - t_start:.0f}s")
+    # trajectory sanity: keyframe poses must track ground truth (the speed
+    # number is meaningless if the pipeline silently diverges)
+    from artdeco_tpu.geometry import lie
+    import jax.numpy as jnp
+
+    errs = []
+    for i in range(len(system.keyframes)):
+        fid = int(system.keyframes.dataset_idx[i])
+        Tgt = np.zeros(8, np.float32)
+        Tgt[:7] = dataset.Twc_gt[fid]
+        Tgt[7] = 1.0
+        d = lie.sim3_log(lie.sim3_mul(
+            lie.sim3_inv(jnp.asarray(Tgt)),
+            jnp.asarray(system.keyframes.T_WC[i])))
+        errs.append(float(jnp.linalg.norm(d)))
+    log(f"keyframe pose error vs GT: max {max(errs):.4f} "
+        f"({'OK' if max(errs) < 0.05 else 'DIVERGED'})")
     return t_pipe, n_gauss
 
 
