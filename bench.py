@@ -266,6 +266,17 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
 
 
 def main():
+    # persistent XLA compilation cache: the pipeline's one-time jit costs
+    # (ViT-L, tracker, mapper) dominate bench wall-clock; cached binaries
+    # make reruns start in seconds
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_artdeco")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     golden_check()
     t_model = bench_mast3r()
     t_pipe, n_gauss = bench_pipeline()

@@ -15,6 +15,17 @@ def main():
     from artdeco_tpu.dataio.dataset import load_dataset
     from artdeco_tpu.utils.config import load_config
 
+    # persistent XLA compilation cache (first jit of the tracker/mapper is
+    # minutes; cached binaries make subsequent runs start in seconds)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_artdeco"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     args = get_args()
     np.random.seed(0)
     config = load_config(args.config)

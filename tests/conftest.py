@@ -22,5 +22,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the suite's wall time is dominated by CPU jit
+# compiles that are identical run to run
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_artdeco_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 # Keep matmuls in full f32 for numerical golden tests.
 jax.config.update("jax_default_matmul_precision", "highest")
