@@ -32,9 +32,13 @@ def _conv(sd, name, bias=True):
 
 def _deconv(sd, name):
     # torch ConvTranspose2d weight (in, out, kh, kw) -> flax (kh, kw, in, out)
-    w = np.asarray(sd[f"{name}.weight"])
+    # with a SPATIAL FLIP: torch's transposed conv places weight[ky, kx] at
+    # output (y*s + ky, x*s + kx) while flax's ConvTranspose correlates with
+    # the unflipped kernel (verified numerically against ConvTranspose2d;
+    # the unflipped transpose reproduces every 4x4 block mirrored)
+    w = np.asarray(sd[f"{name}.weight"])[:, :, ::-1, ::-1]
     return {
-        "kernel": np.transpose(w, (2, 3, 0, 1)),
+        "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))),
         "bias": np.asarray(sd[f"{name}.bias"]),
     }
 

@@ -46,6 +46,7 @@ class MASt3RConfig:
     dpt_feature_dim: int = 256
     dpt_layer_dims: Sequence[int] = (96, 192, 384, 768)
     conf_vmin: float = 1.0
+    desc_conf_vmin: float = 0.0
     compute_dtype: Any = jnp.bfloat16
 
 
@@ -289,9 +290,27 @@ class ResidualConvUnit(nn.Module):
 
 
 def _upsample2(x):
-    """Bilinear x2, align_corners=True (torch F.interpolate parity)."""
-    b, h, w, c = x.shape
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+    """Bilinear x2 with align_corners=True (torch F.interpolate parity).
+
+    jax.image.resize implements half-pixel centers (align_corners=False);
+    the DPT fusion blocks and regression head use align_corners=True
+    (``dpt_block.py:215,319``), so the grid is built explicitly: output
+    position i samples input coordinate i*(n-1)/(2n-1)."""
+
+    def interp_axis(arr, axis):
+        size = arr.shape[axis]
+        pos = jnp.linspace(0.0, size - 1.0, 2 * size)
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, size - 1)
+        hi = jnp.clip(lo + 1, 0, size - 1)
+        t = (pos - lo).astype(arr.dtype)
+        a = jnp.take(arr, lo, axis=axis)
+        b2 = jnp.take(arr, hi, axis=axis)
+        shape = [1] * arr.ndim
+        shape[axis] = -1
+        t = t.reshape(shape)
+        return a * (1 - t) + b2 * t
+
+    return interp_axis(interp_axis(x, 1), 2)
 
 
 class FeatureFusion(nn.Module):
@@ -421,7 +440,11 @@ class MASt3R(nn.Module):
 
 def _postprocess(fmap, lfeat, cfg: MASt3RConfig):
     """exp-distance pts3d + 1+exp conf + normalized desc
-    (mast3r/catmlp_dpt_head.py postprocess + dust3r postprocess.py)."""
+    (mast3r/catmlp_dpt_head.py postprocess + dust3r postprocess.py).
+
+    Note the released checkpoint's conf modes differ between heads:
+    conf_mode=('exp', 1, inf) but desc_conf_mode=('exp', 0, inf) — desc_conf
+    has NO +1 offset (model.py instantiation string)."""
     xyz = fmap[..., 0:3].astype(jnp.float32)
     d = jnp.sqrt(jnp.sum(xyz * xyz, axis=-1, keepdims=True) + 1e-16)
     pts3d = xyz / jnp.clip(d, 1e-8, None) * jnp.expm1(d)
@@ -430,5 +453,6 @@ def _postprocess(fmap, lfeat, cfg: MASt3RConfig):
     desc = desc * jax.lax.rsqrt(
         jnp.sum(desc * desc, axis=-1, keepdims=True) + 1e-16
     )
-    desc_conf = cfg.conf_vmin + jnp.exp(lfeat[..., cfg.local_feat_dim].astype(jnp.float32))
+    desc_conf = cfg.desc_conf_vmin + jnp.exp(
+        lfeat[..., cfg.local_feat_dim].astype(jnp.float32))
     return dict(pts3d=pts3d, conf=conf, desc=desc, desc_conf=desc_conf)

@@ -291,10 +291,18 @@ class Pi3(nn.Module):
         m = nn.relu(nn.Dense(c.camera_dim, name="cam_mlp2")(m))
         out_t = nn.Dense(3, name="fc_t")(m)
         out_r = nn.Dense(9, name="fc_rot")(m).reshape(-1, 3, 3)
-        U, S, Vt = jnp.linalg.svd(out_r.astype(jnp.float32))
-        det = jnp.linalg.det(U @ Vt)
+        # svd_orthogonalize (camera_head.py:74-93): rows are L2-normalized
+        # BEFORE the SVD (this changes the orthogonal factors, not just the
+        # singular values), and the SVD is taken of the TRANSPOSE:
+        # m^T = u s v^T  =>  R = v' diag(1,1,det(v' u^T)) u^T with v' = v
+        mn = out_r.astype(jnp.float32)
+        mn = mn / jnp.sqrt(jnp.sum(mn * mn, axis=-1, keepdims=True) + 1e-24)
+        u, s, vh = jnp.linalg.svd(jnp.swapaxes(mn, -1, -2))
+        v = jnp.swapaxes(vh, -1, -2)
+        ut = jnp.swapaxes(u, -1, -2)
+        det = jnp.linalg.det(v @ ut)
         D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], -1)
-        R = U @ (D[:, :, None] * Vt)
+        R = (v * D[:, None, :]) @ ut
         pose = jnp.zeros((B * N, 4, 4)).at[:, :3, :3].set(R)
         pose = pose.at[:, :3, 3].set(out_t).at[:, 3, 3].set(1.0)
         camera_poses = pose.reshape(B, N, 4, 4)
