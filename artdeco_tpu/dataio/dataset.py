@@ -357,15 +357,21 @@ class SyntheticDataset(BaseDataset):
         return self._h, self._w
 
     def __getitem__(self, index):
-        u, v = np.meshgrid(np.arange(self._w), np.arange(self._h))
-        tx = 0.02 * index
-        phase = tx * 0.8 * self._w / 2.0  # plane at z=2: pixel shift = f*tx/2
-        img = np.stack([
-            0.5 + 0.4 * np.sin((u + phase) / 9.0),
-            0.5 + 0.4 * np.cos(v / 7.0),
-            0.5 + 0.3 * np.sin((u + phase + v) / 11.0),
-        ], axis=-1)
-        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        if not hasattr(self, "_img_cache"):
+            self._img_cache = {}
+        img = self._img_cache.get(index)
+        if img is None:
+            u, v = np.meshgrid(np.arange(self._w), np.arange(self._h))
+            tx = 0.02 * index
+            # plane at z=2: pixel shift = f*tx/2
+            phase = tx * 0.8 * self._w / 2.0
+            img = np.stack([
+                0.5 + 0.4 * np.sin((u + phase) / 9.0),
+                0.5 + 0.4 * np.cos(v / 7.0),
+                0.5 + 0.3 * np.sin((u + phase + v) / 11.0),
+            ], axis=-1)
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+            self._img_cache[index] = img
         info = dict(self.infos[self.image_name_list[index]])
         info["Twc_gt"] = self.Twc_gt[index]
         return img, info

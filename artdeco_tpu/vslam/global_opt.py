@@ -519,7 +519,7 @@ class FactorGraph:
         if need <= self._dev_ecap:
             return
         n = self.h * self.w
-        newcap = self._pow2(need, lo=max(16, self._dev_ecap * 2))
+        newcap = self._pow2(need, lo=max(64, self._dev_ecap * 2))
         old = self._dev_edges
         self._dev_edges = {
             "idx": jnp.zeros((newcap, n), jnp.int32),
@@ -742,7 +742,9 @@ class FactorGraph:
         # (written by add_factors); only changed pointmaps move host->device
         self._sync_poses_device(uniq)
 
-        P = self._pow2(uniq.size)
+        # pose/edge pads start high enough that the jitted solver
+        # compiles once for typical runs instead of at every pow2 step
+        P = self._pow2(uniq.size, lo=32)
         T = np.tile(np.asarray([0, 0, 0, 0, 0, 0, 1, 1], np.float32), (P, 1))
         used = np.zeros(P, bool)
         slot_of = np.zeros(P, np.int64)
@@ -761,7 +763,7 @@ class FactorGraph:
         Cs_j = jnp.where(jnp.asarray(used)[:, None, None],
                          self._dev_C[gather], -1.0)
 
-        E = self._pow2(n_e, lo=8)
+        E = self._pow2(n_e, lo=64)
         ii_p = remap_arr[self.e_ii[:E]].astype(np.int32)
         jj_p = remap_arr[self.e_jj[:E]].astype(np.int32)
 
