@@ -6,7 +6,9 @@ wraps XFeat dense descriptors.  Those checkpoints are not shipped here, so
 the default provider derives inverse depth from the SLAM pointmap (which the
 main pipeline already does — keyframe.py builds idepth pyramids from
 point_map) and exposes the same (idepth, confidence) surface for plugging a
-learned model.
+learned model.  A full flax DepthAnythingV2 implementation + checkpoint
+converter lives in ``models/depth_anything.py``
+(``make_dav2_model_fn(checkpoint_path)`` plugs straight in here).
 """
 
 from __future__ import annotations
