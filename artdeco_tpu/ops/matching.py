@@ -234,10 +234,27 @@ def _iter_proj_single(
         return u, v, lam, conv, smp
 
     # statically unrolled: gathers inside lax loops lower to slow serialized
-    # TPU gathers, unrolling lets XLA pipeline them (~10x faster here)
+    # TPU gathers, unrolling lets XLA pipeline them (~10x faster here).
+    # The CUDA kernel exits per pixel at convergence (matching_kernels.cu
+    # convergence flag); SIMD can't skip lanes, but after the head
+    # iterations nearly every pixel has converged, so the unrolled tail is
+    # gated on the surviving fraction — identical results whenever more
+    # than early_exit_frac of pixels still need iterations.
     carry = (u0, v0, lam0, conv0, gather_full(u0, v0))
-    for i in range(max_iter):
+    head = min(4, max_iter)
+    for i in range(head):
         carry = body(i, carry)
+    if max_iter > head:
+        def tail(c):
+            for i in range(head, max_iter):
+                c = body(i, c)
+            return c
+
+        early_exit_frac = 0.002
+        unconv = 1.0 - jnp.mean(carry[3].astype(jnp.float32))
+        carry = jax.lax.cond(
+            unconv > early_exit_frac, tail, lambda c: c, carry
+        )
     u, v, lam, conv, _ = carry
     return jnp.stack([u, v], axis=-1), conv
 
