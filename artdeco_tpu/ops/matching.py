@@ -188,30 +188,61 @@ def _iter_proj_single(
     img_flat = rays_img.reshape(h * w, 9)
     packed = _pack_corners(img_flat, w)  # (h*w, 36): all 4 taps per row
 
+    # TPU layout: ALL per-pixel state lives channel-MAJOR (c, n) so the lane
+    # dimension is the dense pixel axis.  The channel-minor (n, 9/36) layout
+    # pads 9->128 lanes and ran every per-step fusion at ~7% lane efficiency
+    # (measured 0.55 ms per fusion at 147k pixels; this layout makes them
+    # ~50 us).  Only the gather table stays row-major for contiguous rows.
+    ptsT = pts3d_norm.T  # (3, n)
+
     u0 = jnp.clip(p_init[:, 0], 1.0, w - 2.0)
     v0 = jnp.clip(p_init[:, 1], 1.0, h - 2.0)
     lam0 = jnp.full_like(u0, lambda_init)
     conv0 = jnp.zeros(u0.shape, dtype=bool)
 
-    def gather_full(u, v):
-        return _bilinear_gather_packed(packed, 9, u, v, w)  # (n, 9)
+    def gather_full_T(u, v):
+        """One packed-row gather, transposed to (36, n) for the math."""
+        iu, iv, w11, w12, w21, w22 = _bilinear_weights(u, v)
+        smp = jnp.take(packed, iv * w + iu, axis=0).T  # (36, n)
+        wts = jnp.stack([w22[:, 0], w21[:, 0], w12[:, 0], w11[:, 0]])  # (4,n)
+        return smp, wts
+
+    def interp(smpT, wts, lo, hi):
+        """Bilinear-combine corner channels [lo,hi) -> ((hi-lo), n).
+
+        Summation order matches _bilinear_gather_packed exactly
+        (w11*r11 + w12*r12 + w21*r21 + w22*r22) so accept decisions are
+        bit-identical to the row-major implementation."""
+        return (
+            wts[3] * smpT[27 + lo : 27 + hi]
+            + wts[2] * smpT[18 + lo : 18 + hi]
+            + wts[1] * smpT[9 + lo : 9 + hi]
+            + wts[0] * smpT[lo:hi]
+        )
+
+    def cost_at(smpT, wts):
+        r = interp(smpT, wts, 0, 3)
+        # exact sqrt+divide (not rsqrt): matches the CUDA kernel and the
+        # row-major implementation bit-for-bit
+        r = r / jnp.sqrt(jnp.sum(r * r, axis=0, keepdims=True))
+        err = r - ptsT
+        return err, jnp.sum(err * err, axis=0)
 
     def body(_, carry):
-        # smp is the 9-channel sample AT the current (u, v): the candidate-
+        # smpT/wts sample the 4 corners AT the current (u, v): the candidate-
         # position gather doubles as the next iteration's current-position
         # gather on accept (and the rejected position's sample is already in
         # the carry), so each LM step costs ONE gather instead of two
-        u, v, lam, conv, smp = carry
-        r, gx, gy = smp[:, 0:3], smp[:, 3:6], smp[:, 6:9]
-        r = r / jnp.linalg.norm(r, axis=-1, keepdims=True)
-        err = r - pts3d_norm
-        cost = jnp.sum(err * err, axis=-1)
+        u, v, lam, conv, smpT, wts = carry
+        err, cost = cost_at(smpT, wts)
+        gx = interp(smpT, wts, 3, 6)
+        gy = interp(smpT, wts, 6, 9)
 
-        A00 = jnp.sum(gx * gx, axis=-1) + lam
-        A01 = jnp.sum(gx * gy, axis=-1)
-        A11 = jnp.sum(gy * gy, axis=-1) + lam
-        b0 = -jnp.sum(err * gx, axis=-1)
-        b1 = -jnp.sum(err * gy, axis=-1)
+        A00 = jnp.sum(gx * gx, axis=0) + lam
+        A01 = jnp.sum(gx * gy, axis=0)
+        A11 = jnp.sum(gy * gy, axis=0) + lam
+        b0 = -jnp.sum(err * gx, axis=0)
+        b1 = -jnp.sum(err * gy, axis=0)
 
         det_inv = 1.0 / (A00 * A11 - A01 * A01)
         du = det_inv * (A11 * b0 - A01 * b1)
@@ -219,19 +250,17 @@ def _iter_proj_single(
 
         u_new = jnp.clip(u + du, 1.0, w - 2.0)
         v_new = jnp.clip(v + dv, 1.0, h - 2.0)
-        smp_new = gather_full(u_new, v_new)
-        r_new = smp_new[:, 0:3]
-        r_new = r_new / jnp.linalg.norm(r_new, axis=-1, keepdims=True)
-        err_new = r_new - pts3d_norm
-        new_cost = jnp.sum(err_new * err_new, axis=-1)
+        smpT_new, wts_new = gather_full_T(u_new, v_new)
+        _, new_cost = cost_at(smpT_new, wts_new)
 
         accept = new_cost < cost
         u = jnp.where(accept, u_new, u)
         v = jnp.where(accept, v_new, v)
-        smp = jnp.where(accept[:, None], smp_new, smp)
+        smpT = jnp.where(accept[None, :], smpT_new, smpT)
+        wts = jnp.where(accept[None, :], wts_new, wts)
         lam = jnp.where(accept, lam * 0.1, lam * 10.0)
         conv = jnp.where(accept, new_cost < cost_thresh, cost < cost_thresh)
-        return u, v, lam, conv, smp
+        return u, v, lam, conv, smpT, wts
 
     # statically unrolled: gathers inside lax loops lower to slow serialized
     # TPU gathers, unrolling lets XLA pipeline them (~10x faster here).
@@ -240,7 +269,8 @@ def _iter_proj_single(
     # iterations nearly every pixel has converged, so the unrolled tail is
     # gated on the surviving fraction — identical results whenever more
     # than early_exit_frac of pixels still need iterations.
-    carry = (u0, v0, lam0, conv0, gather_full(u0, v0))
+    smpT0, wts0 = gather_full_T(u0, v0)
+    carry = (u0, v0, lam0, conv0, smpT0, wts0)
     head = min(4, max_iter)
     for i in range(head):
         carry = body(i, carry)
@@ -255,7 +285,7 @@ def _iter_proj_single(
         carry = jax.lax.cond(
             unconv > early_exit_frac, tail, lambda c: c, carry
         )
-    u, v, lam, conv, _ = carry
+    u, v, lam, conv = carry[:4]
     return jnp.stack([u, v], axis=-1), conv
 
 
@@ -360,7 +390,19 @@ def _refine_single(
     return jnp.stack([u_new, v_new], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("radius", "dilation_max", "compute_dtype"))
+def _use_dense_refine(compute_dtype) -> bool:
+    """The dense-stencil Pallas path runs on TPU for the production bf16
+    search; the f32/golden path and CPU keep the wide-row-gather stack
+    implementation (same semantics, no kernel dependency)."""
+    return (
+        compute_dtype is not None
+        and jnp.dtype(compute_dtype) == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+    )
+
+
+@partial(jax.jit, static_argnames=("radius", "dilation_max", "compute_dtype",
+                                   "force_dense"))
 def refine_matches(
     D11: jax.Array,  # (b, h, w, f) descriptors of frame 1
     D21: jax.Array,  # (b, n, f) descriptors of frame 2 (flattened)
@@ -368,12 +410,32 @@ def refine_matches(
     radius: int = 3,
     dilation_max: int = 1,
     compute_dtype=None,
+    force_dense: bool = False,
 ):
     """Coarse-to-fine local descriptor search around current matches.
 
-    lax.map (not vmap) over the batch: each sample materializes ~span*f
-    channel shifted stacks; batching them multiplies that transient by b.
+    Two implementations with identical semantics:
+
+    * dense-stencil Pallas cascade (``ops/refine_dense.py``) — the TPU hot
+      path for bf16 descriptor search; zero per-pixel gathers.
+    * wide-row-gather stack — XLA-only fallback (CPU tests, f32 golden).
+
+    lax.map (not vmap) over the batch: each sample materializes large
+    transients; batching them multiplies that footprint by b.
     """
+    if force_dense or _use_dense_refine(compute_dtype):
+        from artdeco_tpu.ops.refine_dense import refine_matches_dense_single
+
+        interpret = jax.default_backend() != "tpu"
+        fn = partial(
+            refine_matches_dense_single,
+            radius=radius,
+            dilation_max=dilation_max,
+            interpret=interpret,
+        )
+        if D11.shape[0] == 1:
+            return fn(D11[0], D21[0], p1[0])[None].astype(p1.dtype)
+        return jax.lax.map(lambda t: fn(*t), (D11, D21, p1)).astype(p1.dtype)
     fn = partial(_refine_single, radius=radius, dilation_max=dilation_max,
                  compute_dtype=compute_dtype)
     if D11.shape[0] == 1:

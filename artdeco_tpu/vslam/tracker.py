@@ -41,6 +41,12 @@ class TrackingConfig(NamedTuple):
     sigma_point: float = 0.05
     pixel_border: int = -10
     depth_eps: float = 1e-6
+    # TPU redesign: subsample the LM residual set by this pixel stride (the
+    # reference solves over every pixel, CameraTracker.py:296-396 — a 7-DoF
+    # pose is massively overdetermined either way, and per-LM-iteration cost
+    # scales with this).  Keyframe decisions and match fractions always use
+    # the full-resolution arrays.
+    point_stride: int = 1
 
     @staticmethod
     def from_dict(d: dict) -> "TrackingConfig":
@@ -72,8 +78,11 @@ def _solve_gn(sqrt_info: jax.Array, r: jax.Array, J: jax.Array, huber_k: float):
     mdim = J.shape[-1]
     A = (robust_sqrt_info[..., None] * J).reshape(-1, mdim)
     b = (robust_sqrt_info * r).reshape(-1, 1)
-    H = A.T @ A
-    g = -(A.T @ b)
+    # normal equations in full f32: TPU's default matmul precision is bf16,
+    # which biases the 7-DoF solve by ~4e-2 in the Sim(3) tangent (measured
+    # on v5e with exact correspondences); HIGHEST costs ~nothing at (N, 8)
+    H = jnp.matmul(A.T, A, precision=jax.lax.Precision.HIGHEST)
+    g = -jnp.matmul(A.T, b, precision=jax.lax.Precision.HIGHEST)
     cost = 0.5 * jnp.sum(b * b)
     L, lower = jax.scipy.linalg.cho_factor(H, lower=True)
     tau = jax.scipy.linalg.cho_solve((L, lower), g)[:, 0]
@@ -92,7 +101,17 @@ def opt_pose_ray_dist_sim3(
     valid: jax.Array,  # (N, 1) bool
     cfg: TrackingConfig = TrackingConfig(),
 ):
-    """Uncalibrated tracking: ray + distance residuals (reference :242-290)."""
+    """Uncalibrated tracking: ray + distance residuals (reference :242-290).
+
+    Traced under f32 matmul precision: TPU's default bf16 passes bias the
+    Jacobian products and the pose solve by ~4e-2 in the Sim(3) tangent."""
+    with jax.default_matmul_precision("highest"):
+        return _opt_pose_ray_dist_sim3_body(
+            Xf, Xk, T_WCf, T_WCk, Qk, valid, cfg
+        )
+
+
+def _opt_pose_ray_dist_sim3_body(Xf, Xk, T_WCf, T_WCk, Qk, valid, cfg):
     sqrt_q = jnp.sqrt(Qk)
     v = valid.astype(Xf.dtype)
     si_ray = (1.0 / cfg.sigma_ray) * v * sqrt_q
@@ -149,8 +168,20 @@ def opt_pose_calib_sim3(
 ):
     """Calibrated tracking: pixel + log-depth residuals (reference :296-396).
 
-    Returns (T_WCf, T_CkCf, K, ok).
+    Returns (T_WCf, T_CkCf, K, ok).  Traced under f32 matmul precision (see
+    opt_pose_ray_dist_sim3).
     """
+    with jax.default_matmul_precision("highest"):
+        return _opt_pose_calib_sim3_body(
+            Xf, Xf_cov, Xk, T_WCf, T_WCk, Qk, valid, meas_k, valid_meas_k,
+            idx_f2k, K, img_size, cfg, optimize_focal, covariance_filter,
+        )
+
+
+def _opt_pose_calib_sim3_body(
+    Xf, Xf_cov, Xk, T_WCf, T_WCk, Qk, valid, meas_k, valid_meas_k,
+    idx_f2k, K, img_size, cfg, optimize_focal, covariance_filter,
+):
     h, w = img_size
     dtype = Xf.dtype
     sqrt_q = jnp.sqrt(Qk)
@@ -313,9 +344,11 @@ def track_step(
     valid_kf = vmk & (Qk > cfg.Q_conf)
     match_frac = jnp.mean(valid_opt.astype(jnp.float32))
 
+    s = max(1, int(cfg.point_stride))
     T_WCf2, T_CkCf, K2, ok = opt_pose_calib_sim3(
-        Xf_m, Xf_cov, Xk_m, T_WCf, T_WCk, Qk, valid_opt, meas_k,
-        valid_meas_k, idx_f2k, K, img_size, cfg,
+        Xf_m[::s], Xf_cov[::s], Xk_m[::s], T_WCf, T_WCk, Qk[::s],
+        valid_opt[::s], meas_k[::s], valid_meas_k[::s], idx_f2k[::s],
+        K, img_size, cfg,
         optimize_focal=optimize_focal,
         covariance_filter=covariance_filter,
     )

@@ -191,6 +191,35 @@ def test_refine_matches_golden():
         np.testing.assert_array_equal(np.asarray(got), ref)
 
 
+def test_refine_dense_matches_stack():
+    """The dense-stencil Pallas cascade (interpret mode on CPU) must agree
+    with the wide-row-gather stack implementation, including collision-heavy
+    matches that exercise the sparse loser path."""
+    rng = np.random.RandomState(1)
+    b, h, w, f = 1, 20, 24, 8
+    n = h * w
+    D11 = rng.randn(b, h, w, f).astype(np.float32)
+    D21 = rng.randn(b, n, f).astype(np.float32)
+
+    # mix: identity-ish positions + heavy collisions (many pixels -> (5, 7))
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h), indexing="xy")
+    p1 = np.stack([uu.reshape(-1), vv.reshape(-1)], -1)[None].astype(np.int64)
+    p1[0, 100:300] = (5, 7)
+    p1[0, 350:420] = (20, 3)
+
+    for radius, dil in [(2, 2), (4, 3)]:
+        ref = matching.refine_matches(
+            jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p1),
+            radius, dil, compute_dtype=jnp.bfloat16,
+        )
+        got = matching.refine_matches(
+            jnp.asarray(D11), jnp.asarray(D21), jnp.asarray(p1),
+            radius, dil, compute_dtype=jnp.bfloat16, force_dense=True,
+        )
+        agree = (np.asarray(got) == np.asarray(ref)).all(-1).mean()
+        assert agree == 1.0, f"r={radius} d={dil}: agreement {agree}"
+
+
 def test_match_iterative_proj_end_to_end():
     cfg = dict(
         max_iter=10, lambda_init=1e-8, convergence_thresh=1e-6,
