@@ -515,6 +515,90 @@ class SceneModel:
         self._dev_cache: dict = {}       # (kf_idx, lvl) -> (gt, mono) on device
         self._active_ids: list[int] = []  # keyframes resident on device
         self._has_gaussians = False      # host-tracked, avoids per-step sync
+        self._mesh = None                # multi-chip dp mesh (enable_mesh)
+        self._dp_steps: dict = {}        # (w, h) -> jitted dp train step
+        self._sharded_render = None
+
+    # -- multi-chip ---------------------------------------------------------
+    def enable_mesh(self, mesh):
+        """Turn on keyframe-data-parallel training over an ICI mesh with
+        axis 'dp' (parallel/dp.py): each optimization iteration trains
+        mesh.size keyframes — one per chip — against the replicated scene,
+        with psum-averaged gradients.  Rendering for eval/save can use the
+        row-strip sharded rasterizer (render_sharded)."""
+        self._mesh = mesh
+        self._dp_steps = {}
+        self._sharded_render = None
+
+    def render_sharded(self, keyframe_id: int, bg=None):
+        """Full-resolution render sharded by image row strips over the mesh
+        (parallel/splats.py — driver config 5 'multi-chip splats').  Raw
+        splat path (no LOD fade / mlp_cov modulation): used for eval-style
+        full-frame renders where the strip concat must be exact."""
+        from artdeco_tpu.parallel.splats import make_row_sharded_render
+
+        assert self._mesh is not None
+        if self._sharded_render is None:
+            self._sharded_render = make_row_sharded_render(
+                self._mesh, self.width, self.height, self.cfg.sh_degree,
+                eps2d=self.cfg.low_pass_filter_eps, axis="dp",
+            )
+        s = self.slab
+        colors = jnp.concatenate([s.f_dc, s.f_rest], axis=1)  # (C, K, 3)
+        n = s.xyz.shape[0]
+        valid = jnp.arange(n) < s.num_active()
+        viewmat = KF.get_Rt(self.pool, keyframe_id)
+        return self._sharded_render(
+            s.xyz, s.rotation, jnp.exp(s.scaling), jax.nn.sigmoid(s.opacity[:, 0]),
+            colors, viewmat, self._K_at_lvl(0),
+            valid,
+        )
+
+    def _dp_step_for(self, w: int, h: int):
+        fn = self._dp_steps.get((w, h))
+        if fn is None:
+            from artdeco_tpu.parallel.dp import make_dp_train_step
+
+            fn = make_dp_train_step(self._mesh, self.cfg, w, h)
+            self._dp_steps[(w, h)] = fn
+        return fn
+
+    def _optimization_step_dp(self, is_important: bool = True):
+        """One dp iteration: mesh.size keyframes trained in parallel."""
+        B = self._mesh.size
+        first = self.get_training_id() if (
+            self._np_rng.rand() > self.cfg.use_last_frame_proba
+            or self.last_trained_id == -1
+        ) else len(self.keyframes) - 1
+        lvl = self.keyframes[first].pyr_lvl
+        # co-sample keyframes at the same pyramid level (stacked shapes)
+        same_lvl = [i for i in (self._active_ids or range(len(self.keyframes)))
+                    if self.keyframes[i].pyr_lvl == lvl]
+        ids = [first] + [
+            same_lvl[self._np_rng.randint(0, len(same_lvl))]
+            for _ in range(B - 1)
+        ]
+        s = 2 ** lvl
+        w, h = self.width // s, self.height // s
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(self._mesh, P("dp"))
+        gts, monos = zip(*[self._device_kf(i, lvl) for i in ids])
+        gt = jax.device_put(jnp.stack(gts), shard)
+        mono = jax.device_put(jnp.stack(monos), shard)
+        kf_idx = jax.device_put(jnp.asarray(ids, jnp.int32), shard)
+        bg = jax.device_put(
+            jnp.asarray(self._np_rng.rand(B, 3).astype(np.float32)), shard
+        )
+        step = self._dp_step_for(w, h)
+        (self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,
+         self.mlp_lr, self.pool, metrics) = step(
+            self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,
+            self.mlp_lr, self.pool, kf_idx, gt, mono,
+            self._K_at_lvl(lvl), bg,
+        )
+        self.last_trained_id = ids[0]
+        return metrics
 
     # -- properties ------------------------------------------------------
     @property
@@ -652,6 +736,10 @@ class SceneModel:
 
     def optimization_loop(self, n_iters: int, is_important: bool = True):
         m = None
+        if self._mesh is not None and self._has_gaussians and self.keyframes:
+            for _ in range(n_iters):
+                m = self._optimization_step_dp(is_important=is_important)
+            return m
         for _ in range(n_iters):
             m = self.optimization_step(is_important=is_important)
         return m

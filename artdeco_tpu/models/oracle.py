@@ -58,13 +58,23 @@ class OracleRunner:
 
     def _fid(self, img) -> int:
         # id() fast path: the pipeline hands the same device array object to
-        # several calls per frame; hashing requires a ~60 ms d2h pull
+        # several calls per frame; hashing requires a ~60 ms d2h pull.
+        # Entries hold a weakref and validate object identity: a bare id()
+        # key can alias a NEW array allocated at a recycled address after
+        # the original is garbage-collected (would return a stale frame id).
+        import weakref
+
         hit = self._by_id.get(id(img))
         if hit is not None:
-            return hit
+            ref, fid = hit
+            if ref() is img:
+                return fid
         key = hashlib.sha1(np.asarray(img).tobytes()).digest()
         fid = self._by_hash[key]
-        self._by_id[id(img)] = fid
+        try:
+            self._by_id[id(img)] = (weakref.ref(img), fid)
+        except TypeError:  # object type without weakref support
+            pass
         if len(self._by_id) > 64:
             self._by_id.pop(next(iter(self._by_id)))
         return fid

@@ -135,7 +135,10 @@ def build_tile_bins(
     steps = jnp.zeros((m_pairs,), jnp.int32).at[tile_starts].add(
         delta.astype(jnp.int32), mode="drop")
     dst = i_pair + jnp.cumsum(steps)
-    dst = jnp.where(i_pair < num_pairs, dst, num_slots)  # drop invalid
+    # drop invalid pairs via distinct out-of-range slots: a shared sentinel
+    # would put duplicates in an indices vector promised unique below
+    # (undefined behavior per the jax scatter contract even under drop)
+    dst = jnp.where(i_pair < num_pairs, dst, num_slots + i_pair)
     # dst is monotonically non-decreasing (pairs are tile-sorted and runs
     # are laid out in tile order) and unique — let XLA use the fast path
     slot_gauss = (

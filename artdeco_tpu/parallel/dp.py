@@ -83,12 +83,17 @@ def make_dp_train_step(mesh: Mesh, cfg: MapperConfig, width: int, height: int):
           width, height, cfg)
         g_trained, g_r, g_t, g_e = grads
 
+        # test frames train only their pose (h3dgsv3.py:458-464): zero their
+        # scene-gradient contribution before the cross-device mean
+        w_scene = jnp.where(pool.is_test[kf], 0.0, 1.0)
         # scene gradients: mean across the dp axis; visibility: union
         g_scene = jax.tree_util.tree_map(
-            lambda x: jax.lax.pmean(x, "dp"), g_trained
+            lambda x: jax.lax.pmean(w_scene * x, "dp"), g_trained
         )
-        vis = jax.lax.pmax(aux["vis"].astype(jnp.int32), "dp") > 0
-        gvis = jax.lax.pmax(aux["gvis"].astype(jnp.int32), "dp") > 0
+        vis = jax.lax.pmax(
+            (aux["vis"] & ~pool.is_test[kf]).astype(jnp.int32), "dp") > 0
+        gvis = jax.lax.pmax(
+            (aux["gvis"] & ~pool.is_test[kf]).astype(jnp.int32), "dp") > 0
         loss = jax.lax.pmean(aux["loss"], "dp")
 
         # ---- replicated scene update ---------------------------------

@@ -153,6 +153,18 @@ class System:
         self.scene_model = SceneModel(
             dataset.W_map, dataset.H_map, dataset.K_map, mcfg,
         )
+        n_dev = int(getattr(args, "n_devices", 1) or 1)
+        if n_dev > 1:
+            import jax
+            from jax.sharding import Mesh
+
+            avail = jax.devices()
+            if len(avail) < n_dev:
+                raise ValueError(
+                    f"--n_devices {n_dev} but only {len(avail)} devices"
+                )
+            mesh = Mesh(np.array(avail[:n_dev]), ("dp",))
+            self.scene_model.enable_mesh(mesh)
         self.mapper_cfg = mcfg
         self.mapper_index = 0
         self.related_frames: dict = {}   # slam kf index -> [mapper ids]

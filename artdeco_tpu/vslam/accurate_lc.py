@@ -37,6 +37,12 @@ def make_pi3_accurate_matcher(
         return out.transpose(2, 0, 1)
 
     def matcher(candidate_ids, query_id):
+        # the database guarantees <= max_window_number-1 candidates
+        # (retrieval.py:323); guard the invariant rather than silently
+        # truncating the score list if the two constants ever diverge
+        assert len(candidate_ids) + 1 <= pad_to, (
+            f"{len(candidate_ids)} candidates exceed pad_to={pad_to}"
+        )
         idxs_all = list(candidate_ids) + [query_id]
         imgs = np.stack(
             [resize(np.asarray(keyframes.img_dev(i))) for i in idxs_all]

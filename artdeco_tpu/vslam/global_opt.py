@@ -262,8 +262,11 @@ def gauss_newton_calib(
         Hd = H.transpose(0, 2, 1, 3).reshape(P * D, P * D)
         gd = g.reshape(P * D)
         pin = jnp.repeat(~free, D)
+        # exact free-subspace restriction (identical semantics to the PCG
+        # solver): zero pinned rows/cols AND gradient, identity diagonal
         Hd = jnp.where(pin[:, None] | pin[None, :], 0.0, Hd)
         Hd = Hd + jnp.diag(jnp.where(pin, 1.0, 1e-6))  # jitter + pinning
+        gd = jnp.where(pin, 0.0, gd)
         dx = -jnp.linalg.solve(Hd, gd)
         dx = jnp.where(pin, 0.0, dx).reshape(P, D)
         dx = _clamp_step(dx)
@@ -493,6 +496,9 @@ class FactorGraph:
         self._kf_slot: dict = {}            # keyframe id -> device slot
         self._slot_version: dict = {}       # keyframe id -> synced version
         self._dev_pcap = 0
+        # background-compiled (P, E) solver variants (see _prewarm_solver)
+        self._warmed: set = set()
+        self._prewarm_solver(32, 64)
 
     def __len__(self):
         return len(self.ii)
@@ -721,6 +727,65 @@ class FactorGraph:
             c *= 2
         return c
 
+    def _solver_statics(self) -> dict:
+        return dict(
+            pixel_border=int(self.cfg["pixel_border"]),
+            z_eps=float(self.cfg["depth_eps"]),
+            sigma_pixel=float(self.cfg["sigma_pixel"]),
+            sigma_depth=float(self.cfg["sigma_depth"]),
+            C_thresh=float(self.cfg["C_conf"]),
+            Q_thresh=float(self.cfg["Q_conf"]),
+            max_iter=int(self.cfg["max_iters"]),
+            delta_thresh=float(self.cfg["delta_norm"]),
+            num_fix=1,
+            point_stride=int(self.cfg.get("point_stride", 1)),
+        )
+
+    def _prewarm_solver(self, P: int, E: int):
+        """AOT-compile the (P, E) solver variant on a background thread.
+
+        pow2 capacity growth otherwise re-jits the GN solver on the per-frame
+        critical path — BENCH r02 showed 8-10 s frame stalls when the edge or
+        pose pad stepped.  jit caches by abstract shape, so lowering with
+        ShapeDtypeStructs off-thread makes the step-up hit a warm cache."""
+        key = (P, E)
+        if key in self._warmed:
+            return
+        self._warmed.add(key)
+
+        import threading
+
+        def go():
+            try:
+                import jax
+                import jax.numpy as jnp
+
+                sds = jax.ShapeDtypeStruct
+                n = self.h * self.w
+                solver = (
+                    gauss_newton_calib if P <= self.DENSE_POSE_LIMIT
+                    else gauss_newton_calib_sparse
+                )
+                solver.lower(
+                    sds((P, 8), jnp.float32),
+                    sds((P, n, 3), jnp.float32),
+                    sds((P, n, 1), jnp.float32),
+                    sds((3, 3), jnp.float32),
+                    sds((E,), jnp.int32),
+                    sds((E,), jnp.int32),
+                    sds((E, n), jnp.int32),
+                    sds((E, n), jnp.bool_),
+                    sds((E, n, 1), jnp.float32),
+                    sds((E,), jnp.bool_),
+                    sds((P,), jnp.bool_),
+                    self.h, self.w,
+                    **self._solver_statics(),
+                ).compile()
+            except Exception:  # pragma: no cover - prewarm is best-effort
+                pass
+
+        threading.Thread(target=go, daemon=True).start()
+
     # dense assembly is O(P^2) memory (822 MB at P=2048); switch to the
     # block-sparse PCG solver above this many poses
     DENSE_POSE_LIMIT = 256
@@ -779,16 +844,7 @@ class FactorGraph:
             self._dev_edges["q"][:E][..., None],
             jnp.asarray(self.e_valid[:E]), jnp.asarray(used),
             self.h, self.w,
-            pixel_border=int(self.cfg["pixel_border"]),
-            z_eps=float(self.cfg["depth_eps"]),
-            sigma_pixel=float(self.cfg["sigma_pixel"]),
-            sigma_depth=float(self.cfg["sigma_depth"]),
-            C_thresh=float(self.cfg["C_conf"]),
-            Q_thresh=float(self.cfg["Q_conf"]),
-            max_iter=int(self.cfg["max_iters"]),
-            delta_thresh=float(self.cfg["delta_norm"]),
-            num_fix=1,
-            point_stride=int(self.cfg.get("point_stride", 1)),
+            **self._solver_statics(),
         )
         T_new = np.asarray(T_new)
         # write back all but the pinned prefix (global_opt.py:231)
@@ -796,3 +852,11 @@ class FactorGraph:
         self.keyframes.update_T_WCs(
             T_new[remap_arr[upd]], upd
         )
+        # warm the next capacity steps off-thread before growth hits the
+        # per-frame path (including the dense->sparse solver switch)
+        if uniq.size > P // 2:
+            self._prewarm_solver(P * 2, E)
+        if n_e > E // 2:
+            self._prewarm_solver(P, E * 2)
+        if uniq.size > P // 2 and n_e > E // 2:
+            self._prewarm_solver(P * 2, E * 2)

@@ -161,6 +161,10 @@ class SimilarityGraph:
 class RetrievalDatabase:
     """Inverted-file retrieval with binarized aggregated residuals (ASMK*)."""
 
+    # Pi3 joint-inference window bound (retrieval_database.py:153-154);
+    # accurate_lc derives its static pad from this
+    MAX_WINDOW_NUMBER = 24
+
     def __init__(
         self,
         cfg: dict,
@@ -192,7 +196,7 @@ class RetrievalDatabase:
         self.sim_graph = SimilarityGraph()
         self.accurate_matcher = accurate_matcher  # Pi3 verification hook
         self.min_window_number = 12
-        self.max_window_number = 24
+        self.max_window_number = self.MAX_WINDOW_NUMBER
         self.accurate_loop_closure_number = 12
 
     def _ensure_centroids(self, dim: int):
@@ -364,6 +368,9 @@ def build_retrieval_database(args, config: dict, keyframes) -> RetrievalDatabase
         )
         accurate_matcher = make_pi3_accurate_matcher(
             pi3_apply, keyframes, config["matching"], resize_hw=resize_hw,
+            # derive the pad from the database's window bound instead of
+            # duplicating the constant (they must stay in lockstep)
+            pad_to=RetrievalDatabase.MAX_WINDOW_NUMBER,
         )
 
     return RetrievalDatabase(

@@ -126,7 +126,22 @@ def golden_check():
 # 2. Full-size MASt3R per-tracked-frame inference time
 # ---------------------------------------------------------------------------
 
-def bench_mast3r(h=384, w=512, iters=10):
+def _sync(x):
+    """True device sync: pull one scalar to host.  block_until_ready on the
+    tunneled axon backend returns before execution completes (measured:
+    a 4096^3 matmul 'finished' in 0.03 ms); a d2h readback cannot lie."""
+    import jax.numpy as jnp
+
+    return float(jnp.ravel(x)[0])
+
+
+def bench_model(h=384, w=512, iters=8):
+    """Per-tracked-frame MODEL cost only: one encode + one pair decode+heads
+    (CameraTracker.py:57-62; keyframe side cached).  The matching cascade is
+    NOT timed here — the pipeline below runs the identical cascade inside
+    the oracle, so adding it again would double-count (VERDICT r2 weak #6).
+
+    Returns (t_encode_s, t_decode_s, tflops_achieved)."""
     import jax
     import jax.numpy as jnp
 
@@ -137,20 +152,45 @@ def bench_mast3r(h=384, w=512, iters=10):
     cfg = M.MASt3RConfig()
     runner = Mast3rRunner.create(cfg, init_hw=(h, w))
     rng = np.random.RandomState(0)
-    img_f = jnp.asarray(rng.rand(3, h, w).astype(np.float32) * 2 - 1)
-    img_k = jnp.asarray(rng.rand(3, h, w).astype(np.float32) * 2 - 1)
-    # keyframe side cached, as in tracking (CameraTracker.py:45,147)
-    emb_k = runner.encode_image(img_k[None])
-    out = runner.match_asymmetric(img_f, img_k, embeddings_j=emb_k)
-    jax.block_until_ready(out[0])
-    t0 = time.time()
-    for _ in range(iters):
-        out = runner.match_asymmetric(img_f, img_k, embeddings_j=emb_k)
-    jax.block_until_ready(out[0])
-    dt = (time.time() - t0) / iters
-    log(f"mast3r per-frame (encode+pair-decode+match @ {w}x{h}): "
-        f"{1000 * dt:.1f} ms")
-    return dt
+    img_f = jnp.asarray(rng.rand(1, 3, h, w).astype(np.float32) * 2 - 1)
+    img_k = jnp.asarray(rng.rand(1, 3, h, w).astype(np.float32) * 2 - 1)
+    feat_k, pos_k = runner.encode_image(img_k)
+    feat_f, pos_f = runner.encode_image(img_f)
+    r1, r2 = runner.decode(feat_f, pos_f, feat_k, pos_k, (h, w))
+    _sync(r1["pts3d"])
+
+    def time_stage(fn, out_of):
+        _sync(out_of(fn()))
+        t0 = time.time()
+        outs = [fn() for _ in range(iters)]
+        _sync(out_of(outs[-1]))  # device executes launches in order
+        return (time.time() - t0) / iters
+
+    t_enc = time_stage(lambda: runner.encode_image(img_f),
+                       lambda o: o[0])
+    t_dec = time_stage(
+        lambda: runner.decode(feat_f, pos_f, feat_k, pos_k, (h, w)),
+        lambda o: o[0]["pts3d"],
+    )
+
+    # model FLOP utilization from the compiled executables (VERDICT r2 #8)
+    tflops = 0.0
+    try:
+        fl = 0.0
+        fl += runner._encode.lower(
+            runner.params, img_f
+        ).compile().cost_analysis()["flops"]
+        nh, nw = h // cfg.patch_size, w // cfg.patch_size
+        fl += runner._decode.lower(
+            runner.params, feat_f, pos_f, feat_k, pos_k, nh, nw
+        ).compile().cost_analysis()["flops"]
+        tflops = fl / max(t_enc + t_dec, 1e-9) / 1e12
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
+    log(f"mast3r model @ {w}x{h}: encode {1000 * t_enc:.1f} ms + "
+        f"pair decode+heads {1000 * t_dec:.1f} ms "
+        f"({tflops:.1f} TFLOP/s achieved)")
+    return t_enc, t_dec, tflops
 
 
 # ---------------------------------------------------------------------------
@@ -214,6 +254,12 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
     t_start = time.time()
     per_frame = []
     stage = {"track": 0.0, "backend": 0.0, "map": 0.0}
+
+    def sync_map():
+        # force completion of queued mapper device work so stage attribution
+        # is honest (async dispatch otherwise bleeds into the next frame)
+        _sync(system.scene_model.slab.opacity[:1])
+
     for i in range(n_frames):
         t0 = time.time()
         img, info = dataset[i]
@@ -225,6 +271,7 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
             t2 = time.time()
             if mm is not None:
                 system._handle_mapper_msg(mm)
+                sync_map()
         t3 = time.time()
         system.n_frames += 1
         dt = t3 - t0
@@ -240,11 +287,16 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
     n_gauss = int(system.scene_model.n_active_gaussians)
     t_pipe = float(np.mean(per_frame))
     nsteady = max(len(per_frame), 1)
+    med = float(np.median(per_frame))
+    mx = float(np.max(per_frame))
+    stages_ms = {k: 1000 * v / nsteady for k, v in stage.items()}
     log(f"pipeline steady-state: {1000 * t_pipe:.1f} ms/frame "
-        f"(track {1000 * stage['track'] / nsteady:.0f} / backend "
-        f"{1000 * stage['backend'] / nsteady:.0f} / map "
-        f"{1000 * stage['map'] / nsteady:.0f}), {n_gauss} gaussians, "
+        f"(track {stages_ms['track']:.0f} / backend "
+        f"{stages_ms['backend']:.0f} / map "
+        f"{stages_ms['map']:.0f}), {n_gauss} gaussians, "
         f"{len(system.keyframes)} keyframes, total {time.time() - t_start:.0f}s")
+    log(f"frame-time median {1000 * med:.0f} ms / max {1000 * mx:.0f} ms "
+        f"(max/median {mx / max(med, 1e-9):.1f}x; recompile-spike check)")
     # trajectory sanity: keyframe poses must track ground truth (the speed
     # number is meaningless if the pipeline silently diverges)
     from artdeco_tpu.geometry import lie
@@ -262,7 +314,7 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
         errs.append(float(jnp.linalg.norm(d)))
     log(f"keyframe pose error vs GT: max {max(errs):.4f} "
         f"({'OK' if max(errs) < 0.05 else 'DIVERGED'})")
-    return t_pipe, n_gauss
+    return t_pipe, n_gauss, stages_ms, mx / max(med, 1e-9)
 
 
 def main():
@@ -278,16 +330,21 @@ def main():
     except Exception:
         pass
     golden_check()
-    t_model = bench_mast3r()
-    t_pipe, n_gauss = bench_pipeline()
-    fps = 1.0 / (t_pipe + t_model)
+    t_enc, t_dec, tflops = bench_model()
+    t_pipe, n_gauss, stages_ms, spike = bench_pipeline()
+    # no overlap: the pipeline's oracle already runs the full matching
+    # cascade in-place of the model, so only encode + decode+heads are added
+    fps = 1.0 / (t_pipe + t_enc + t_dec)
     print(json.dumps({
         "metric": "end_to_end_fps",
         "value": round(fps, 2),
-        "unit": ("frames/s incl. full-size MASt3R pair inference "
-                 f"({1000 * t_model:.0f} ms) + track/backend/mapper pipeline "
-                 f"({1000 * t_pipe:.0f} ms, 512-res slam, 20/10 iter schedule, "
-                 f"{n_gauss} gaussians)"),
+        "unit": ("frames/s; stage ms/frame: "
+                 f"model-encode {1000 * t_enc:.0f} + model-decode "
+                 f"{1000 * t_dec:.0f} ({tflops:.0f} TFLOP/s) + track(incl "
+                 f"cascade) {stages_ms['track']:.0f} + backend "
+                 f"{stages_ms['backend']:.0f} + map {stages_ms['map']:.0f}; "
+                 f"512-res slam, 20/10 schedule, {n_gauss} gaussians, "
+                 f"frame-max/median {spike:.1f}x"),
         "vs_baseline": round(fps / 30.0, 3),
     }))
 

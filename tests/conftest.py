@@ -11,16 +11,23 @@ import os
 # matter.  jax.config.update("jax_platforms", ...) below is what actually
 # forces CPU.  XLA_FLAGS is still read lazily at first backend init, so
 # setting it here works as long as no test touched a device yet.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# ARTDECO_TEST_TPU=1 runs the suite on the real TPU backend instead (the
+# verify drive for kernel changes; multi-device mesh tests will skip/fail
+# there — deselect tests/test_parallel.py when using it)
+_USE_TPU = os.environ.get("ARTDECO_TEST_TPU", "") == "1"
+
+if not _USE_TPU:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _USE_TPU:
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: the suite's wall time is dominated by CPU jit
 # compiles that are identical run to run

@@ -100,3 +100,40 @@ def test_system_save_outputs(ran_system):
     assert os.path.isfile(os.path.join(out, "slam", "frames.txt"))
     assert os.path.isfile(os.path.join(out, "slam", "keyframes.txt"))
     assert os.path.isfile(os.path.join(out, "slam", "lost_percentage.txt"))
+
+
+def test_system_multichip_dp(tmp_path):
+    """run_system --n_devices 8 path: System builds the dp mesh over the 8
+    virtual CPU devices and the mapper trains through the shard_map step
+    (VERDICT r2 task 7 — product integration of parallel/dp.py)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    args = _args(n_devices=8, num_key_iterations=2, num_common_iterations=1)
+    dataset = SyntheticDataset(args, n_frames=8, width=160, height=120)
+    cfg = load_config(os.path.join(REPO, "config/base.yaml"))
+    cfg["matching"]["radius"] = 1
+    cfg["matching"]["dilation_max"] = 1
+    cfg["matching"]["dist_thresh"] = 0.05
+    runner = OracleRunner(
+        (dataset.H_slam, dataset.W_slam), dataset.K_slam, cfg["matching"]
+    )
+    for i in range(len(dataset)):
+        img, info = dataset[i]
+        T = np.zeros(8, np.float32)
+        T[:7] = info["Twc_gt"]
+        T[7] = 1.0
+        runner.register(dataset.transform.to_slam(img), i, T)
+    mcfg = MapperConfig(
+        capacity=4096, cluster_capacity=1024, voxel_table_size=4096,
+        new_budget=1024, keyframe_capacity=64, sh_degree=1,
+        local_feat_dim=8, global_feat_dim=8, pyr_levels=1,
+        gs_add_ratio=1.0, init_proba_scaler=4.0,
+    )
+    sys_ = System(args, cfg, dataset, runner, mapper_cfg=mcfg)
+    assert sys_.scene_model._mesh is not None
+    assert sys_.scene_model._mesh.size == 8
+    sys_.run(progress=False)
+    assert sys_.scene_model.n_active_gaussians > 0
+    assert sys_.scene_model._dp_steps, "dp step never used"
