@@ -336,19 +336,25 @@ def load_pi3_apply(checkpoint_path: str = "", full: bool = True,
     resize_hw = (392, 518) if full else (112, 140)
     model = Pi3(cfg)
     if params is None and checkpoint_path and os.path.isfile(checkpoint_path):
-        from artdeco_tpu.models.convert_pi3 import convert_pi3_state_dict
+        if checkpoint_path.endswith(".npz"):
+            # pre-converted by scripts/convert_checkpoints.py
+            from artdeco_tpu.utils.params_io import load_pytree_npz
 
-        if checkpoint_path.endswith(".safetensors"):
-            from safetensors.numpy import load_file
-
-            sd = load_file(checkpoint_path)
+            params = load_pytree_npz(checkpoint_path)
         else:
-            import torch
+            from artdeco_tpu.models.convert_pi3 import convert_pi3_state_dict
 
-            ckpt = torch.load(checkpoint_path, map_location="cpu",
-                              weights_only=False)
-            sd = ckpt.get("model", ckpt)
-        params = convert_pi3_state_dict(sd, cfg)
+            if checkpoint_path.endswith(".safetensors"):
+                from safetensors.numpy import load_file
+
+                sd = load_file(checkpoint_path)
+            else:
+                import torch
+
+                ckpt = torch.load(checkpoint_path, map_location="cpu",
+                                  weights_only=False)
+                sd = ckpt.get("model", ckpt)
+            params = convert_pi3_state_dict(sd, cfg)
         print(f"loaded Pi3 weights from {checkpoint_path}")
     if params is None:
         h, w = resize_hw

@@ -74,7 +74,12 @@ def load_retrieval_head(path: str, nfeat: int = 300) -> RetrievalHead:
     "trainingfree" release carries only the prewhitener.  Safetensors files
     holding the flat ``model`` dict are accepted too.
     """
-    if path.endswith(".safetensors"):
+    if path.endswith(".npz"):
+        # raw head tensors persisted by scripts/convert_checkpoints.py
+        with np.load(path) as data:
+            model = {k: data[k] for k in data.files}
+        args = None
+    elif path.endswith(".safetensors"):
         from safetensors.numpy import load_file
 
         model, args = dict(load_file(path)), None

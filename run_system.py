@@ -65,19 +65,27 @@ def main():
         )
         params = None
         if os.path.isfile(args.checkpoint_path):
-            from artdeco_tpu.models.convert_mast3r import convert_state_dict
+            if args.checkpoint_path.endswith(".npz"):
+                # pre-converted by scripts/convert_checkpoints.py
+                from artdeco_tpu.utils.params_io import load_pytree_npz
 
-            if args.checkpoint_path.endswith(".safetensors"):
-                from safetensors.numpy import load_file
-
-                sd = load_file(args.checkpoint_path)
+                params = load_pytree_npz(args.checkpoint_path)
             else:
-                import torch
+                from artdeco_tpu.models.convert_mast3r import (
+                    convert_state_dict,
+                )
 
-                ckpt = torch.load(args.checkpoint_path, map_location="cpu",
-                                  weights_only=False)
-                sd = ckpt.get("model", ckpt)
-            params = convert_state_dict(sd, cfg_model)
+                if args.checkpoint_path.endswith(".safetensors"):
+                    from safetensors.numpy import load_file
+
+                    sd = load_file(args.checkpoint_path)
+                else:
+                    import torch
+
+                    ckpt = torch.load(args.checkpoint_path,
+                                      map_location="cpu", weights_only=False)
+                    sd = ckpt.get("model", ckpt)
+                params = convert_state_dict(sd, cfg_model)
             print(f"loaded MASt3R weights from {args.checkpoint_path}")
         else:
             print(
