@@ -554,13 +554,15 @@ class SceneModel:
             valid,
         )
 
-    def _dp_step_for(self, w: int, h: int):
-        fn = self._dp_steps.get((w, h))
+    def _dp_step_for(self, w: int, h: int, is_important: bool):
+        key = (w, h, is_important)
+        fn = self._dp_steps.get(key)
         if fn is None:
             from artdeco_tpu.parallel.dp import make_dp_train_step
 
-            fn = make_dp_train_step(self._mesh, self.cfg, w, h)
-            self._dp_steps[(w, h)] = fn
+            fn = make_dp_train_step(self._mesh, self.cfg, w, h,
+                                    is_important=is_important)
+            self._dp_steps[key] = fn
         return fn
 
     def _optimization_step_dp(self, is_important: bool = True):
@@ -574,10 +576,18 @@ class SceneModel:
         # co-sample keyframes at the same pyramid level (stacked shapes)
         same_lvl = [i for i in (self._active_ids or range(len(self.keyframes)))
                     if self.keyframes[i].pyr_lvl == lvl]
-        ids = [first] + [
-            same_lvl[self._np_rng.randint(0, len(same_lvl))]
-            for _ in range(B - 1)
-        ]
+        # without replacement where possible (duplicates would combine into
+        # an averaged step via the dp multiplicity division — correct but a
+        # wasted device); fall back to replacement when too few keyframes
+        others = [i for i in same_lvl if i != first]
+        if len(others) >= B - 1:
+            sel = self._np_rng.choice(len(others), B - 1, replace=False)
+            ids = [first] + [others[int(j)] for j in sel]
+        else:
+            ids = [first] + [
+                same_lvl[self._np_rng.randint(0, len(same_lvl))]
+                for _ in range(B - 1)
+            ]
         s = 2 ** lvl
         w, h = self.width // s, self.height // s
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -590,7 +600,7 @@ class SceneModel:
         bg = jax.device_put(
             jnp.asarray(self._np_rng.rand(B, 3).astype(np.float32)), shard
         )
-        step = self._dp_step_for(w, h)
+        step = self._dp_step_for(w, h, is_important)
         (self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,
          self.mlp_lr, self.pool, metrics) = step(
             self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,

@@ -310,7 +310,12 @@ def make_dav2_model_fn(checkpoint_path: str = "", encoder: str = "vitl",
 
     cfg = dav2_config(encoder)
     model = DepthAnythingV2(cfg)
-    if checkpoint_path:
+    if checkpoint_path and checkpoint_path.endswith(".npz"):
+        # pre-converted artifact from scripts/convert_checkpoints.py
+        from artdeco_tpu.utils.params_io import load_pytree_npz
+
+        params = load_pytree_npz(checkpoint_path)
+    elif checkpoint_path:
         import torch
 
         sd = torch.load(checkpoint_path, map_location="cpu",

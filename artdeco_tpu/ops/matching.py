@@ -28,7 +28,14 @@ import jax.numpy as jnp
 # smallest positive normal float32 — replicates the CUDA init of
 # max_score = numeric_limits::min() (a *positive* tiny value, NOT lowest);
 # scores must exceed this for a refinement move to be accepted.
-_FLT_MIN = jnp.float32(1.17549435e-38)
+# numpy scalar, NOT jnp: a module-level concrete jnp array shared across
+# traces is lifted to an executable PARAMETER on the second trace, and jax
+# 0.9.0's pjit dispatch then drops it under signature alternation
+# ("Execution supplied N buffers but compiled program expected N+1" /
+# "INVALID_ARGUMENT: TPU backend error" — the r3/r4 pipeline crash).
+import numpy as _np
+
+_FLT_MIN = _np.float32(1.17549435e-38)
 
 
 # ---------------------------------------------------------------------------
@@ -391,18 +398,64 @@ def _refine_single(
 
 
 def _use_dense_refine(compute_dtype) -> bool:
-    """The dense-stencil Pallas path runs on TPU for the production bf16
-    search; the f32/golden path and CPU keep the wide-row-gather stack
-    implementation (same semantics, no kernel dependency)."""
+    """The dense-stencil path (ops/refine_dense.py, pure XLA) serves the
+    production bf16 search on every backend; the f32/golden path keeps the
+    wide-row-gather stack implementation (same semantics)."""
     return (
         compute_dtype is not None
         and jnp.dtype(compute_dtype) == jnp.bfloat16
-        and jax.default_backend() == "tpu"
     )
 
 
+class _RefineTelemetry:
+    """Host-side accumulator for the dense cascade's dropped-loser counts.
+
+    The counts are device scalars appended WITHOUT synchronization (the hot
+    path never blocks on them); folding and the final readback happen lazily
+    when :func:`refine_overflow_total` is called (end-of-run reporting).
+    SURVEY §5 "no silent caps": the collision budget is observable."""
+
+    def __init__(self):
+        self._pending: list = []
+        self._total = 0
+
+    def record(self, x):
+        self._pending.append(x)
+        if len(self._pending) >= 256:
+            self._flush()
+
+    def _flush(self):
+        if self._pending:
+            s = self._pending[0]
+            for x in self._pending[1:]:
+                s = s + x
+            self._total += int(s)
+            self._pending = []
+
+    def total(self) -> int:
+        self._flush()
+        return self._total
+
+    def reset(self):
+        self._pending = []
+        self._total = 0
+
+
+_refine_telemetry = _RefineTelemetry()
+
+
+def refine_overflow_total() -> int:
+    """Total matches that kept an unrefined position because the per-level
+    collision-loser budget overflowed (0 in healthy runs).  Syncs."""
+    return _refine_telemetry.total()
+
+
+def reset_refine_telemetry():
+    _refine_telemetry.reset()
+
+
 @partial(jax.jit, static_argnames=("radius", "dilation_max", "compute_dtype",
-                                   "force_dense"))
+                                   "force_dense", "return_dropped"))
 def refine_matches(
     D11: jax.Array,  # (b, h, w, f) descriptors of frame 1
     D21: jax.Array,  # (b, n, f) descriptors of frame 2 (flattened)
@@ -411,36 +464,54 @@ def refine_matches(
     dilation_max: int = 1,
     compute_dtype=None,
     force_dense: bool = False,
+    return_dropped: bool = False,
 ):
     """Coarse-to-fine local descriptor search around current matches.
 
     Two implementations with identical semantics:
 
-    * dense-stencil Pallas cascade (``ops/refine_dense.py``) — the TPU hot
-      path for bf16 descriptor search; zero per-pixel gathers.
-    * wide-row-gather stack — XLA-only fallback (CPU tests, f32 golden).
+    * dense-stencil cascade (``ops/refine_dense.py``) — the bf16 hot path;
+      zero per-pixel gathers (claim/scatter + static-shift score maps).
+    * wide-row-gather stack — f32 golden path.
 
-    lax.map (not vmap) over the batch: each sample materializes large
-    transients; batching them multiplies that footprint by b.
+    With ``return_dropped`` returns (p_new, n_dropped) where n_dropped
+    counts collision losers beyond the dense cascade's per-level budget
+    (always 0 on the stack path).
+
+    Batch handling: the dense path vmaps (compact transients, batched
+    einsums); the stack path lax.maps because each sample materializes a
+    (h*w, span^2*f) transient — ~0.6 GB at production scale — and vmap
+    would multiply that by b.
     """
     if force_dense or _use_dense_refine(compute_dtype):
         from artdeco_tpu.ops.refine_dense import refine_matches_dense_single
 
-        interpret = jax.default_backend() != "tpu"
         fn = partial(
             refine_matches_dense_single,
             radius=radius,
             dilation_max=dilation_max,
-            interpret=interpret,
         )
         if D11.shape[0] == 1:
-            return fn(D11[0], D21[0], p1[0])[None].astype(p1.dtype)
-        return jax.lax.map(lambda t: fn(*t), (D11, D21, p1)).astype(p1.dtype)
+            p, nd = fn(D11[0], D21[0], p1[0])
+            p, nd = p[None].astype(p1.dtype), nd
+        else:
+            # vmap (not lax.map): batching the dense cascade turns 8
+            # sequential small einsums/scatters into batched ones (better
+            # TPU utilization); its transient growth (~0.5 GB at the 8-way
+            # symmetric batch, 512x288) is within budget.  lax.map would
+            # also hoist any concrete body constant into an executable
+            # parameter, which is the failure surface behind the r3/r4
+            # pipeline crash (see ops/refine_dense.py DISPATCH HAZARD).
+            p, nd = jax.vmap(fn)(D11, D21, p1)
+            p, nd = p.astype(p1.dtype), jnp.sum(nd)
+        return (p, nd) if return_dropped else p
     fn = partial(_refine_single, radius=radius, dilation_max=dilation_max,
                  compute_dtype=compute_dtype)
     if D11.shape[0] == 1:
-        return fn(D11[0], D21[0], p1[0])[None]
-    return jax.lax.map(lambda t: fn(*t), (D11, D21, p1))
+        p = fn(D11[0], D21[0], p1[0])[None]
+    else:
+        p = jax.lax.map(lambda t: fn(*t), (D11, D21, p1))
+    return (p, jnp.int32(0)) if return_dropped else p
 
 
 # ---------------------------------------------------------------------------
@@ -484,19 +555,21 @@ def _match_cascade(
     dists2 = jnp.linalg.norm(matched - X21.reshape(b, h * w, 3), axis=-1)
     valid = valid_proj2 & (dists2 < dist_thresh)
 
+    dropped = jnp.int32(0)
     if D11 is not None and radius > 0:
         D21_flat = D21.reshape(b, h * w, -1)
-        p1 = refine_matches(
+        p1, dropped = refine_matches(
             D11,
             D21_flat,
             p1,
             radius=radius,
             dilation_max=dilation_max,
             compute_dtype=refine_dtype,
+            return_dropped=True,
         )
 
     idx_1_to_2 = pixel_to_lin(p1, w)
-    return idx_1_to_2, valid[..., None]
+    return idx_1_to_2, valid[..., None], dropped
 
 
 def match_iterative_proj(
@@ -514,7 +587,7 @@ def match_iterative_proj(
     convergence_thresh, dist_thresh, radius, dilation_max).
     Returns (idx_1_to_2 (b,n) int32, valid (b,n,1) bool).
     """
-    return _match_cascade(
+    idx, valid, dropped = _match_cascade(
         X11, X21, D11, D21, idx_1_to_2_init,
         max_iter=int(cfg["max_iter"]),
         lambda_init=float(cfg["lambda_init"]),
@@ -526,6 +599,9 @@ def match_iterative_proj(
         # traffic; pass refine_dtype=None in cfg for the exact f32 path.
         refine_dtype=cfg.get("refine_dtype", "bfloat16"),
     )
+    # async device scalar; folded/read only at end-of-run reporting
+    _refine_telemetry.record(dropped)
+    return idx, valid
 
 
 def match(cfg, X11, X21, D11, D21, idx_1_to_2_init=None):

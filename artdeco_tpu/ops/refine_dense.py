@@ -7,28 +7,52 @@ d = dilation_max..1 for the descriptor dot-product argmax; the running max
 the current best after every level.
 
 TPU design (why not a gather): per-pixel window gathers move ~3 GB/cascade of
-scattered 48-byte rows through HBM — measured 70+ ms at 512x288.  Mosaic has
-no usable arbitrary-row gather primitive inside kernels (equal-shape
-``tpu.dynamic_gather`` only spans one vreg).  Instead we make the search
-DENSE in image-1 space:
+scattered 48-byte rows through HBM — measured 70+ ms at 512x288.  Instead we
+make the search DENSE in image-1 space:
 
   1. claim: one scatter-min resolves, per image-1 position, a single winning
      query pixel (deterministic: lowest pixel id wins, like first-arrival in
      a stable ordering).  ~95% of pixels win their position on real data.
-  2. scatter the winners' 24-d descriptors into an image-1-shaped grid G and
-     run a Pallas stencil kernel: for each of the 81 window offsets the score
-     map is a STATIC shift of D11 against G — an elementwise multiply-reduce
-     over channels, fully VMEM-resident, no gathers at all.  Zero-padding
-     reproduces the CUDA ``inside_image`` mask exactly: out-of-image offsets
-     score 0.0, which can never beat the +FLT_MIN-initialised running max.
+  2. scatter the winners' 24-d descriptors into an image-1-shaped grid G; for
+     each of the 81 window offsets the score map is a STATIC shift of D11
+     against G — an elementwise multiply-reduce over channels with no gathers
+     at all.  Zero-padding reproduces the CUDA ``inside_image`` mask exactly:
+     out-of-image offsets score 0.0, which can never beat the
+     +FLT_MIN-initialised running max.
   3. collision losers (pixels whose center was claimed by another query) are
      processed exactly by one fixed-size compact-and-gather pass per level
      (budget _SPARSE_CHUNK; see the coverage note on
      refine_matches_dense_single).
 
+The dense stencil itself (step 2) is pure XLA: a ``fori_loop`` over the 81
+offsets, each a dynamic-slice + channel-contraction + running max.  An
+earlier round implemented it as a Pallas kernel (VMEM-resident column
+strips); that kernel passed every isolated golden test but deterministically
+corrupted TPU backend state under repeated in-pipeline execution (the r3
+bench died with INVALID_ARGUMENT at the second keyframe's add_factors; with
+the kernel bypassed the identical pipeline ran clean — VERDICT r3 weak #1).
+The XLA formulation has identical semantics and its per-offset traffic
+(~14 MB read at 512x288xf24 bf16) streams at HBM bandwidth, so the whole
+5-level cascade stays at a few ms — the kernel's VMEM residency was never
+the bottleneck, the gather avoidance was.
+
 Numerics match the XLA stack implementation (bf16 descriptor products
 accumulated in f32); near-tie argmax picks can differ only by f32 summation
 order, identical to the stack-vs-CUDA relationship.
+
+DISPATCH HAZARD (root cause of the r3/r4 pipeline crashes): a module-level
+CONCRETE ``jnp`` array (the old ``_FLT_MIN = jnp.float32(...)``) that is
+closed over by more than one trace of the same jitted function gets lifted
+into an executable PARAMETER on the re-trace, and jax 0.9.0's pjit dispatch
+then drops that parameter once the cache sees alternating batch signatures:
+the call sequence b1, b8, b1, b8 deterministically failed with ``Execution
+supplied 3 buffers but compiled program expected 4`` on CPU and the opaque
+``INVALID_ARGUMENT: TPU backend error`` on the tunneled TPU backend (the r3
+bench crash at the 2nd keyframe's add_factors; isolated repros passed
+because a fresh process never re-traced).  Module constants used inside
+traced code must be PYTHON/numpy scalars (trace-time literals), never jnp
+arrays.  Regression: tests/test_matching.py::
+test_cascade_batch_alternation_regression.
 """
 
 from __future__ import annotations
@@ -37,74 +61,45 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
-_FLT_MIN = jnp.float32(1.17549435e-38)
+# numpy scalar, NOT jnp — a module-level concrete jnp array becomes a lifted
+# executable parameter on re-trace, which jax 0.9.0's dispatch drops under
+# batch-signature alternation (the r3/r4 pipeline crash; see module
+# docstring and ops/matching.py)
+import numpy as _np
 
-# collision losers processed per while_loop trip (static shape)
+_FLT_MIN = _np.float32(1.17549435e-38)
+
+# collision losers processed per level (static shape)
 _SPARSE_CHUNK = 16384
 
 
-def _dense_best_kernel(P_ref, G_ref, best_ref, bo_ref, *, span, d, f, H, Wc):
-    """Per grid step (one column strip): running window max over 81 offsets.
+def _dense_best(Ppad, G, *, span, d):
+    """Running window max over the span^2 offsets, fully dense.
 
-    P_ref: (1, f, H + 2rd, Wc + 2rd) bf16, zero-padded shifted source
-    G_ref: (1, f, H, Wc) bf16, claimed query descriptors at center positions
-    best_ref/bo_ref: (1, H, Wc) f32 / int32 outputs.
-
-    Offset order i (u) outer, j (v) inner with strict > updates = CUDA
-    first-max tie-breaking (matching_kernels.cu:54-76).
+    Ppad: (f, H + 2rd, W + 2rd) bf16 zero-padded image-1 descriptors;
+    G: (f, H, W) bf16 claimed query descriptors at their center positions.
+    Returns best (H, W) f32 scores and bo (H, W) int32 offset ids in
+    i(u)-outer / j(v)-inner order — strict > updates give CUDA first-max
+    tie-breaking (matching_kernels.cu:54-76).
     """
-    best = jnp.full((H, Wc), -jnp.inf, jnp.float32)
-    bo = jnp.zeros((H, Wc), jnp.int32)
+    f, Hp, Wp = Ppad.shape
+    H, W = G.shape[1], G.shape[2]
 
-    def f_body(fi, acc, i, j):
-        p = P_ref[0, fi, j * d : j * d + H, i * d : i * d + Wc]
-        g = G_ref[0, fi]
-        return acc + p.astype(jnp.float32) * g.astype(jnp.float32)
+    def body(o, carry):
+        best, bo = carry
+        i = o // span
+        j = o % span
+        p = jax.lax.dynamic_slice(Ppad, (0, j * d, i * d), (f, H, W))
+        acc = jnp.einsum(
+            "fhw,fhw->hw", p, G, preferred_element_type=jnp.float32
+        )
+        upd = acc > best
+        return jnp.where(upd, acc, best), jnp.where(upd, o, bo)
 
-    for i in range(span):
-        for j in range(span):
-            acc = jax.lax.fori_loop(
-                0, f, partial(f_body, i=i, j=j),
-                jnp.zeros((H, Wc), jnp.float32),
-            )
-            upd = acc > best
-            best = jnp.where(upd, acc, best)
-            bo = jnp.where(upd, i * span + j, bo)
-    best_ref[0] = best
-    bo_ref[0] = bo
-
-
-@partial(jax.jit, static_argnames=("span", "d", "interpret"))
-def _dense_best(PH, GH, *, span, d, interpret=False):
-    """PH: (nw, f, H+2rd, Wc+2rd) bf16; GH: (nw, f, H, Wc) bf16.
-    Returns best (nw, H, Wc) f32, bo (nw, H, Wc) int32."""
-    nw, f, Hp, Wcp = PH.shape
-    H, Wc = GH.shape[2], GH.shape[3]
-    kern = partial(_dense_best_kernel, span=span, d=d, f=f, H=H, Wc=Wc)
-    return pl.pallas_call(
-        kern,
-        grid=(nw,),
-        in_specs=[
-            pl.BlockSpec((1, f, Hp, Wcp), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, f, H, Wc), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, H, Wc), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H, Wc), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nw, H, Wc), jnp.float32),
-            jax.ShapeDtypeStruct((nw, H, Wc), jnp.int32),
-        ],
-        interpret=interpret,
-    )(PH, GH)
+    best0 = jnp.full((H, W), -jnp.inf, jnp.float32)
+    bo0 = jnp.zeros((H, W), jnp.int32)
+    return jax.lax.fori_loop(0, span * span, body, (best0, bo0))
 
 
 def _sparse_scores(Prows, D21q, iu, iv, *, span, d, f, w, Wp):
@@ -129,37 +124,37 @@ def _sparse_scores(Prows, D21q, iu, iv, *, span, d, f, w, Wp):
     )
 
 
-@partial(jax.jit, static_argnames=("radius", "dilation_max", "interpret"))
 def refine_matches_dense_single(
     D11: jax.Array,  # (h, w, f) descriptors of frame 1
     D21: jax.Array,  # (n, f) query descriptors (flattened frame 2)
     p1: jax.Array,  # (n, 2) int current matches into frame 1
     radius: int = 4,
     dilation_max: int = 5,
-    interpret: bool = False,
+    interpret: bool = False,  # kept for call-site compat; pure-XLA now
 ):
     """See module docstring.  Performance note (measured, v5e): EVERY
     147k-scale random-access op (gather/scatter of any payload) costs
     ~1.4 ms on TPU regardless of byte count, and every lax control-flow
     region in a large live set costs ~4 ms — so this function packs all
-    per-level position lookups into single takes, runs ONE unconditional
-    collision pass per level, and handles the pathological >chunk-losers
-    case by graceful degradation (see coverage note below).
+    per-level position lookups into single takes and runs ONE unconditional
+    collision pass per level.
 
     Coverage: results are exactly the reference cascade whenever the number
     of collision losers per level is <= _SPARSE_CHUNK (always true for
     N <= 16384, and true at 512x288 up to an 11% collision rate — well
     above well-tracked-frame rates).  Beyond that budget, surplus losers
-    keep their current (valid, unrefined) match for that level.  An
-    in-graph exact fallback was measured and rejected: a lax.cond whose
-    branch holds the stack implementation costs ~120 ms even when not
-    taken (cond cost scales with branch size on this backend)."""
+    keep their current (valid, unrefined) match for that level; the count of
+    such dropped losers is RETURNED (summed over levels) so callers can
+    surface the degradation instead of silently capping (SURVEY "no silent
+    caps"; see artdeco_tpu.ops.matching telemetry).
+
+    Returns (p_new (n, 2) int32, n_dropped () int32).
+    """
+    del interpret
     h, w, f = D11.shape
     hw = h * w
     N = p1.shape[0]  # query count; need not equal h*w
     span = 2 * radius + 1
-    nw = max(1, -(-w // 256))
-    wc = -(-w // nw)
     chunk = min(_SPARSE_CHUNK, N)
 
     D11b = D11.astype(jnp.bfloat16)
@@ -170,7 +165,7 @@ def refine_matches_dense_single(
     u0 = p1[:, 0].astype(jnp.int32)
     v0 = p1[:, 1].astype(jnp.int32)
     max_score = jnp.full((N,), _FLT_MIN, jnp.float32)
-    overflow = jnp.asarray(False)
+    n_dropped = jnp.int32(0)
 
     # int32 values ride inside f32 tables so each per-pixel lookup is ONE
     # take.  A raw bitcast of a small int is a DENORMAL f32, and TPU vector
@@ -192,17 +187,10 @@ def refine_matches_dense_single(
         winner = jnp.minimum(inv, N - 1)
         Grow = jnp.where((inv < N)[:, None], D21b[winner], 0)
         G3 = jnp.transpose(Grow.reshape(h, w, f), (2, 0, 1))  # (f, h, w)
-        pad_w = nw * wc - w
-        Ppad = jnp.pad(D11T, ((0, 0), (rd, rd), (rd, rd + pad_w)))
-        G3p = jnp.pad(G3, ((0, 0), (0, 0), (0, pad_w)))
-        PH = jnp.stack(
-            [Ppad[:, :, k * wc : k * wc + wc + 2 * rd] for k in range(nw)]
-        )
-        GH = jnp.stack([G3p[:, :, k * wc : (k + 1) * wc] for k in range(nw)])
-        best, bo = _dense_best(PH, GH, span=span, d=d, interpret=interpret)
-        # (nw, h, wc) -> (h, w)
-        bestmap = jnp.concatenate(list(best), axis=-1)[:, :w].reshape(-1)
-        bomap = jnp.concatenate(list(bo), axis=-1)[:, :w].reshape(-1)
+        Ppad = jnp.pad(D11T, ((0, 0), (rd, rd), (rd, rd)))
+        best, bo = _dense_best(Ppad, G3, span=span, d=d)
+        bestmap = best.reshape(-1)
+        bomap = bo.reshape(-1)
 
         # ONE take for (winner id, best score, best offset) per center
         ptab = jnp.stack([bc(inv), bestmap, bc(bomap)], axis=-1)  # (hw, 3)
@@ -256,8 +244,10 @@ def refine_matches_dense_single(
         u0 = uvm & 0xFFFF
         v0 = uvm >> 16
         max_score = out[:, 1]
-        # losers beyond the chunk budget this level -> exact fallback below
-        overflow = overflow | jnp.any(active & (pos >= chunk))
+        # losers beyond the chunk budget keep their current match this level;
+        # count them so the degradation is observable (no silent caps)
+        n_dropped = n_dropped + jnp.sum(
+            (active & (pos >= chunk)).astype(jnp.int32)
+        )
 
-    del overflow  # see coverage note in the docstring
-    return jnp.stack([u0, v0], axis=-1)
+    return jnp.stack([u0, v0], axis=-1), n_dropped

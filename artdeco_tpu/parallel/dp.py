@@ -8,8 +8,19 @@ scene gradients are psum-averaged over the ``dp`` axis (visibility masks
 union via pmax), and the shared Adam update runs replicated — one jitted
 ``shard_map`` per step, collectives riding ICI.
 
-Per-keyframe pose/exposure rows are disjoint across devices, so their
-updates combine with a psum of one-hot row deltas.
+Objective parity with the single-chip ``optimization_step_core``
+(mapper/scene_model.py): identical loss terms (radial-decay L1, fused SSIM,
+depth, scaling regularizer), the common-frame error masking when
+``is_important`` is False (h3dgsv3.py:432-439), per-row depth-loss-weight
+decay, and test frames that train only their pose (h3dgsv3.py:458-464) —
+their scene-gradient contribution is excluded and the cross-device mean is
+taken over the NON-test count, not the mesh size.
+
+Per-keyframe pose/exposure rows combine with a psum of one-hot row deltas.
+Devices may sample the SAME keyframe (replay sampling is with replacement
+when few keyframes exist), so every row delta is divided by the psum'd
+per-row multiplicity — k devices training one keyframe apply the AVERAGE of
+their k Adam steps once, never k stacked steps.
 """
 
 from __future__ import annotations
@@ -29,7 +40,7 @@ from artdeco_tpu.ops.ssim import fused_ssim
 
 
 def _loss_fn(trained, r_kf, t_kf, e_kf, slab, dlw, gt, mono, K_lvl, bg,
-             width, height, cfg: MapperConfig):
+             width, height, is_important: bool, cfg: MapperConfig):
     slab_t = dataclasses.replace(slab, **trained["slab"])
     Rm = KF.sixd_to_mtx(r_kf)
     viewmat = jnp.concatenate(
@@ -41,18 +52,32 @@ def _loss_fn(trained, r_kf, t_kf, e_kf, slab, dlw, gt, mono, K_lvl, bg,
         K_lvl, width, height, bg, cfg.sh_degree, cfg.low_pass_filter_eps,
         cfg.cluster_capacity,
     )
+    image = pkg["render"]
+    invdepth = pkg["invdepth"]
     rdk = losses.radial_decay_kernel(height, width, cfg.rad_decay)[None]
-    l1 = jnp.mean(rdk * jnp.abs(pkg["render"] - gt))
-    ssim_l = 1.0 - fused_ssim(pkg["render"], gt)
-    depth_l = jnp.mean(rdk * jnp.abs(pkg["invdepth"] - mono))
+    if not is_important:
+        # common frames: mask pixels with large errors (h3dgsv3.py:432-439)
+        err = rdk * jnp.abs(image - gt)
+        bad = (err[0] > 0.2) | (err[1] > 0.2) | (err[2] > 0.2)
+        m = (~bad)[None].astype(image.dtype)
+        image = image * m
+        gt = gt * m
+        invdepth = invdepth * m
+        mono = mono * m
+    l1 = jnp.mean(rdk * jnp.abs(image - gt))
+    ssim_l = 1.0 - fused_ssim(image, gt)
+    depth_l = jnp.mean(rdk * jnp.abs(invdepth - mono))
+    scaling_reg = jnp.mean(jnp.prod(pkg["scale"], axis=1))
     loss = (
-        cfg.lambda_dssim * ssim_l + (1 - cfg.lambda_dssim) * l1 + dlw * depth_l
+        cfg.lambda_dssim * ssim_l + (1 - cfg.lambda_dssim) * l1
+        + dlw * depth_l + cfg.scaling_reg_factor * scaling_reg
     )
     return loss, dict(loss=loss, vis=pkg["visibility"],
                       gvis=pkg["global_visibility"])
 
 
-def make_dp_train_step(mesh: Mesh, cfg: MapperConfig, width: int, height: int):
+def make_dp_train_step(mesh: Mesh, cfg: MapperConfig, width: int, height: int,
+                       is_important: bool = True):
     """Build the jitted data-parallel train step.
 
     Step signature:
@@ -80,15 +105,19 @@ def make_dp_train_step(mesh: Mesh, cfg: MapperConfig, width: int, height: int):
         grads, aux = jax.grad(
             _loss_fn, argnums=(0, 1, 2, 3), has_aux=True
         )(trained0, r0, t0, e0, slab, dlw, gt0, mono0, K_lvl, bg0,
-          width, height, cfg)
+          width, height, is_important, cfg)
         g_trained, g_r, g_t, g_e = grads
 
-        # test frames train only their pose (h3dgsv3.py:458-464): zero their
-        # scene-gradient contribution before the cross-device mean
+        # test frames train only their pose (h3dgsv3.py:458-464): exclude
+        # their scene-gradient contribution; mean over the NON-test count
+        # (a plain pmean would attenuate scene grads whenever a test frame
+        # is in the batch)
         w_scene = jnp.where(pool.is_test[kf], 0.0, 1.0)
-        # scene gradients: mean across the dp axis; visibility: union
+        n_scene = jax.lax.psum(w_scene, "dp")
         g_scene = jax.tree_util.tree_map(
-            lambda x: jax.lax.pmean(w_scene * x, "dp"), g_trained
+            lambda x: jax.lax.psum(w_scene * x, "dp")
+            / jnp.maximum(n_scene, 1.0),
+            g_trained,
         )
         vis = jax.lax.pmax(
             (aux["vis"] & ~pool.is_test[kf]).astype(jnp.int32), "dp") > 0
@@ -102,18 +131,18 @@ def make_dp_train_step(mesh: Mesh, cfg: MapperConfig, width: int, height: int):
             scaling=cfg.scaling_lr, rotation=cfg.rotation_lr,
             opacity=cfg.opacity_lr, local_feat=cfg.feat_lr, xyz=None,
         )
-        slab, opt = G.apply_adam(
+        slab_n, opt_n = G.apply_adam(
             slab, opt, g_scene["slab"], vis, lrs,
             cfg.adam_b1, cfg.adam_b2, cfg.adam_eps,
         )
-        slab = G.decay_xyz_lr(
-            slab, vis, cfg.position_lr_decay, cfg.position_lr_init * 0.1
+        slab_n = G.decay_xyz_lr(
+            slab_n, vis, cfg.position_lr_decay, cfg.position_lr_init * 0.1
         )
         gv, g_opt = adam.adam_update_masked(
             gfeat.val, g_scene["gfeat"], gfeat.opt, gfeat.lr, gvis,
             b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
         )
-        gfeat = GlobalFeats(val=gv, lr=gfeat.lr, opt=g_opt)
+        gfeat_n = GlobalFeats(val=gv, lr=gfeat.lr, opt=g_opt)
         new_mlp = {}
         new_mlp_opt = {}
         for name in ("w1", "b1", "w2", "b2"):
@@ -124,13 +153,36 @@ def make_dp_train_step(mesh: Mesh, cfg: MapperConfig, width: int, height: int):
             )
             new_mlp[name] = p
             new_mlp_opt[name] = st
-        mlp = MlpCov(**new_mlp)
-        mlp_opt = new_mlp_opt
-        mlp_lr = jnp.maximum(
+        mlp_n = MlpCov(**new_mlp)
+        mlp_lr_n = jnp.maximum(
             mlp_lr * cfg.mlp_cov_lr_decay, cfg.mlp_cov_lr_init * 0.1
         )
+        # an all-test batch performs NO scene/mlp update at all (the
+        # single-chip step skips the whole block when is_test)
+        any_scene = n_scene > 0
 
-        # ---- per-keyframe row updates (disjoint rows; psum deltas) ----
+        def sel(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(any_scene, a, b), new, old
+            )
+
+        slab = sel(slab_n, slab)
+        opt = sel(opt_n, opt)
+        gfeat = sel(gfeat_n, gfeat)
+        mlp = sel(mlp_n, mlp)
+        mlp_opt = sel(new_mlp_opt, mlp_opt)
+        mlp_lr = jnp.where(any_scene, mlp_lr_n, mlp_lr)
+
+        # ---- per-keyframe row updates --------------------------------
+        # Devices may share a keyframe (sampling with replacement): psum a
+        # one-hot multiplicity and divide each row delta by it, so k devices
+        # apply the AVERAGE of their k Adam steps exactly once.
+        Pn = pool.r_w2c.shape[0]
+        mult = jax.lax.psum(
+            jnp.zeros((Pn,), jnp.float32).at[kf].set(1.0), "dp"
+        )
+        mult_inv = 1.0 / jnp.maximum(mult, 1.0)
+
         lr_pose = pool.lr_pose[kf]
         lr_expo = jnp.where(pool.is_test[kf], 0.0, pool.lr_exposure[kf])
         r_new, st_r = adam.adam_update_basic(
@@ -151,13 +203,20 @@ def make_dp_train_step(mesh: Mesh, cfg: MapperConfig, width: int, height: int):
 
         def row_delta(dest, row_new, row_old):
             d = jnp.zeros_like(dest).at[kf].set(row_new - row_old)
-            return jax.lax.psum(d, "dp")
+            s = jax.lax.psum(d, "dp")
+            return s * mult_inv.reshape((Pn,) + (1,) * (dest.ndim - 1))
+
+        # per-row depth-loss-weight decay (single-chip multiplies the
+        # trained row by decay once per step; duplicates decay once)
+        dlw_new = dlw * cfg.depth_loss_weight_decay
 
         pool = dataclasses.replace(
             pool,
             r_w2c=pool.r_w2c + row_delta(pool.r_w2c, r_new, r0),
             t_w2c=pool.t_w2c + row_delta(pool.t_w2c, t_new, t0),
             exposure=pool.exposure + row_delta(pool.exposure, e_new, e0),
+            depth_loss_weight=pool.depth_loss_weight + row_delta(
+                pool.depth_loss_weight, dlw_new, dlw),
             opt_r=adam.AdamState(
                 pool.opt_r.exp_avg
                 + row_delta(pool.opt_r.exp_avg, st_r.exp_avg,

@@ -79,7 +79,9 @@ class Backend:
             )
         if style == int(KeyframeStyle.KEYFRAME):
             lc_inds, idx_k2l, keyframe, last_keyframe = (
-                self.global_optimization(msg["keyframe_id"])
+                self.global_optimization(
+                    msg["keyframe_id"], track_match=msg.get("track_match")
+                )
             )
             return self.prepare_for_mapper(
                 keyframe, last_keyframe, msg["keyframe_id"], idx_k2l,
@@ -106,7 +108,15 @@ class Backend:
         return None
 
     # -- global optimization (Backend.py:196-265) --------------------------
-    def global_optimization(self, idx: int, n_consec: int = None):
+    def global_optimization(self, idx: int, n_consec: int = None,
+                            track_match: dict = None):
+        """``track_match``: the frontend's tracking-time pair decode for
+        this keyframe (frontend.take_last_pair).  The reference re-runs the
+        identical decode+match in the backend (Backend.py:203-214); the
+        decode is deterministic, so reusing the frontend's fuses the same
+        values one full cascade cheaper.  (Tiny deviation: the frontend
+        seeds iter_proj with the previous frame's matches; the reference
+        backend re-matches from identity init.)"""
         import time as _time
 
         t0 = _time.perf_counter()
@@ -115,13 +125,23 @@ class Backend:
         last_keyframe = self.keyframes[idx - 1] if idx > 0 else None
         idx_k2l = None
         Xlk = Clk = None
+        tm = track_match
         if last_keyframe is not None:
-            ej = self.keyframes.get_embedding(idx - 1)
-            (idx_k2l, vml, Xkk, Ckk, Qkk, Xlk, Clk, Qlk, feat_k, pos_k) = (
-                self.runner.match_asymmetric(
+            if tm is not None and tm.get("kind") == "pair" \
+                    and tm.get("last_idx") == idx - 1:
+                idx_k2l = tm["idx"]
+                Xkk, Ckk = tm["Xkk"], tm["Ckk"]
+                Xlk, Clk = tm["Xlk"], tm["Clk"]
+                feat_k, pos_k = tm["feat"], tm["pos"]
+            else:
+                ej = self.keyframes.get_embedding(idx - 1)
+                (idx_k2l, vml, Xkk, Ckk, Qkk, Xlk, Clk, Qlk, feat_k, pos_k
+                 ) = self.runner.match_asymmetric(
                     keyframe.img, last_keyframe.img, embeddings_j=ej,
                 )
-            )
+        elif tm is not None and tm.get("kind") == "mono":
+            Xkk, Ckk = tm["X"][0], tm["C"][0]
+            feat_k, pos_k = tm["feat"], tm["pos"]
         else:
             Xm, Cm, feat_k, pos_k = self.runner.inference_mono(keyframe.img)
             Xkk, Ckk = Xm[0], Cm[0]

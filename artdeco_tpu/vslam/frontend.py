@@ -42,13 +42,28 @@ class CameraTracker:
         self.point_fusion = point_fusion
         self.idx_f2k = None
         self.last_embedding = None
+        self._emb_kf_idx = -1   # keyframe index last_embedding belongs to
         self.last_dist = 0.0
+        # pair-decode payload of the latest tracked frame, for the backend
+        # to reuse when this frame becomes a keyframe (its global-opt step
+        # would otherwise re-run the identical decode+matching cascade —
+        # reference Backend.py:203-214 re-decodes; deterministic decode
+        # means reuse fuses the same values, one full cascade cheaper)
+        self._last_pair = None
 
     def track_init(self, frame: Frame):
         X, C, feat, pos = self.runner.inference_mono(frame.img)
         frame = frame.update_pointmap(X[0], C[0]).update_pointmap(X[1], C[1])
         self.last_embedding = (feat, pos)
+        self._emb_kf_idx = 0
+        self._last_pair = dict(kind="mono", X=X, C=C, feat=feat, pos=pos)
         return frame, False, True, True
+
+    def take_last_pair(self):
+        """Hand the latest frame's decode payload to the backend (one-shot)."""
+        out = self._last_pair
+        self._last_pair = None
+        return out
 
     def track(self, frame: Frame):
         """Returns (frame, lost, is_keyframe, is_keyframe_map)."""
@@ -57,12 +72,37 @@ class CameraTracker:
 
         kf_idx = self.keyframes.last_index()
         keyframe = self.keyframes[kf_idx]
+        if kf_idx != self._emb_kf_idx:
+            # the backend appended a keyframe the tracker did not create
+            # (relocalization, Backend.py:269-325): the cached embedding and
+            # match init belong to the OLD keyframe — refresh from the store
+            # (the reloc path put_embedding'd the new one), and re-seed the
+            # pose from the reloc'd keyframe (the reference frontend reads
+            # states.T_WC, which the backend updates on reloc; continuing
+            # from the stale pre-loss extrapolation makes the LM solve blow
+            # up and tracking stays lost forever)
+            stored = self.keyframes.get_embedding(kf_idx)
+            if stored is not None:
+                self.last_embedding = stored
+            self.idx_f2k = None
+            self._emb_kf_idx = kf_idx
+            frame = dataclasses.replace(
+                frame, T_WC=jnp.asarray(self.keyframes.T_WC[kf_idx])
+            )
         (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf, featf, posf
          ) = self.runner.match_asymmetric(
             frame.img, keyframe.img, idx_i2j_init=self.idx_f2k,
             embeddings_j=self.last_embedding,
         )
         self.idx_f2k = idx_f2k
+        # device references only — consumed by the backend if this frame
+        # becomes a keyframe (avoids re-running the identical pair decode +
+        # matching cascade in global_optimization)
+        self._last_pair = dict(
+            kind="pair", last_idx=kf_idx, idx=idx_f2k, valid=valid_match_k,
+            Xkk=Xff, Ckk=Cff, Qkk=Qff, Xlk=Xkf, Clk=Ckf, Qlk=Qkf,
+            feat=featf, pos=posf,
+        )
 
         # everything after matching is ONE fused device step + ONE pull of
         # 5 scalars (tracker.track_step)
@@ -97,6 +137,7 @@ class CameraTracker:
         if is_keyframe:
             self.idx_f2k = None
             self.last_embedding = (featf, posf)
+            self._emb_kf_idx = kf_idx + 1  # this frame appends next
             is_keyframe_map = True
             self.last_dist = 0.0
         else:
@@ -193,6 +234,11 @@ class Frontend:
             "timestamp": timestamp,
             "focal": float(self.tracker.K_slam[0, 0]),
             "frame": frame,   # in-process: pass the frame itself
+            # keyframes hand their tracking-time decode to the backend
+            "track_match": (
+                self.tracker.take_last_pair()
+                if style == KeyframeStyle.KEYFRAME else None
+            ),
         }
 
     def _store_rel(self, frame: Frame, kf_index: int, kf: Frame):

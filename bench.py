@@ -318,17 +318,12 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
 
 
 def main():
-    # persistent XLA compilation cache: the pipeline's one-time jit costs
-    # (ViT-L, tracker, mapper) dominate bench wall-clock; cached binaries
-    # make reruns start in seconds
-    import jax
+    # persistent XLA compilation cache, keyed by machine fingerprint (a
+    # stale cross-host entry executes as INVALID_ARGUMENT on this backend —
+    # see artdeco_tpu/utils/cache.py)
+    from artdeco_tpu.utils.cache import setup_compilation_cache
 
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          "/root/.cache/jax_artdeco")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    setup_compilation_cache()
     golden_check()
     t_enc, t_dec, tflops = bench_model()
     t_pipe, n_gauss, stages_ms, spike = bench_pipeline()

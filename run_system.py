@@ -15,16 +15,12 @@ def main():
     from artdeco_tpu.dataio.dataset import load_dataset
     from artdeco_tpu.utils.config import load_config
 
-    # persistent XLA compilation cache (first jit of the tracker/mapper is
-    # minutes; cached binaries make subsequent runs start in seconds)
-    try:
-        import jax
+    # persistent XLA compilation cache, keyed by machine fingerprint (a
+    # stale cross-host entry executes as INVALID_ARGUMENT on this backend —
+    # see artdeco_tpu/utils/cache.py)
+    from artdeco_tpu.utils.cache import setup_compilation_cache
 
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_artdeco"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    setup_compilation_cache()
 
     args = get_args()
     np.random.seed(0)

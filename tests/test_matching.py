@@ -233,3 +233,74 @@ def test_match_iterative_proj_end_to_end():
     assert idx.shape == (1, h * w)
     assert valid.shape == (1, h * w, 1)
     assert bool((idx >= 0).all()) and bool((idx < h * w).all())
+
+
+def test_cascade_batch_alternation_regression():
+    """Regression for the r3/r4 pipeline crash: alternating batch-1 and
+    batch-8 cascade calls corrupted the pjit dispatch cache because a
+    module-level concrete jnp scalar (_FLT_MIN) was lifted into an
+    executable parameter on re-trace and then dropped by the dispatcher
+    ('Execution supplied N buffers but compiled program expected N+1' on
+    CPU; 'INVALID_ARGUMENT: TPU backend error' in the streaming pipeline).
+    Module constants must stay numpy scalars; this test locks the exact
+    failing call sequence (b1, b8, b1, b8) in."""
+    rng = np.random.RandomState(7)
+    h, w, f = 24, 32, 8
+    n = h * w
+
+    def mk(b):
+        D11 = jnp.asarray(rng.randn(b, h, w, f).astype(np.float32))
+        D21 = jnp.asarray(rng.randn(b, n, f).astype(np.float32))
+        p1 = jnp.asarray(np.stack(
+            [rng.randint(1, w - 1, (b, n)), rng.randint(1, h - 1, (b, n))],
+            -1).astype(np.int32))
+        return D11, D21, p1
+
+    a1, a8 = mk(1), mk(8)
+    outs = []
+    for _ in range(3):
+        outs.append(matching.refine_matches(
+            *a1, 2, 2, compute_dtype=jnp.bfloat16))
+        outs.append(matching.refine_matches(
+            *a8, 2, 2, compute_dtype=jnp.bfloat16))
+    # determinism across alternation: repeated identical calls agree
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[2]))
+    np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(outs[3]))
+
+
+def test_refine_dense_overflow_counter():
+    """Collision-loser budget overflow must be observable, not silent
+    (VERDICT r3 weak #4): when more losers than the per-level budget exist,
+    the dropped count is reported via the telemetry accumulator, and the
+    surviving matches still come from the valid search space."""
+    from artdeco_tpu.ops import refine_dense
+
+    old_chunk = refine_dense._SPARSE_CHUNK
+    refine_dense._SPARSE_CHUNK = 32  # force overflow at test scale
+    matching.reset_refine_telemetry()
+    try:
+        rng = np.random.RandomState(3)
+        h, w, f = 20, 24, 8
+        n = h * w  # 480 queries
+        D11 = jnp.asarray(rng.randn(h, w, f).astype(np.float32))
+        D21 = jnp.asarray(rng.randn(n, f).astype(np.float32))
+        # all queries collide on ONE center: 479 losers >> 32 budget
+        p1 = jnp.asarray(np.full((n, 2), 7, np.int64))
+        out, dropped = refine_dense.refine_matches_dense_single(
+            D11.astype(jnp.bfloat16), D21.astype(jnp.bfloat16),
+            jnp.asarray(p1, jnp.int32), radius=2, dilation_max=2)
+        assert int(dropped) > 0
+        out = np.asarray(out)
+        assert (out[:, 0] >= 0).all() and (out[:, 0] < w).all()
+        assert (out[:, 1] >= 0).all() and (out[:, 1] < h).all()
+
+        # end-to-end: the cascade feeds the count into the host telemetry
+        cfg = dict(max_iter=4, lambda_init=1e-8, convergence_thresh=1e-6,
+                   dist_thresh=10.0, radius=2, dilation_max=2)
+        X = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32) + 1)
+        matching.match(cfg, X, X, D11[None], D11[None],
+                       idx_1_to_2_init=jnp.zeros((1, n), jnp.int32))
+        assert matching.refine_overflow_total() > 0
+    finally:
+        refine_dense._SPARSE_CHUNK = old_chunk
+        matching.reset_refine_telemetry()
