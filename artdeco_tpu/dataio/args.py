@@ -134,6 +134,13 @@ def get_args(argv=None):
     p.add_argument("--colmap_stride", type=int, default=4)
     # NOTE: store_false parity — passing --sync_hard DISABLES hard sync
     p.add_argument("--sync_hard", action="store_false")
+    # overlapped runtime: mapper half of the pipeline on a worker thread
+    # (the reference's 3-process overlap, run_system.py:105-110); passing
+    # the flag DISABLES it — store_false like --sync_hard
+    p.add_argument("--async_pipeline", action="store_false")
+    # background AOT compile of all pipeline stages at startup
+    # (runtime/prewarm.py); tri-state default: on for TPU backends
+    p.add_argument("--prewarm", action="store_true", default=None)
     p.add_argument("--thres_keyframe", type=float, default=0.8)
     p.add_argument("--use_same_set_of_keyframes", action="store_true")
     # runtime extras (TPU rebuild)

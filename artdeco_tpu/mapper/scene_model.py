@@ -169,16 +169,26 @@ def render_core(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "sh_degree", "eps2d",
+                     "cluster_capacity"),
+)
+def render_core_jit(slab, gfeat, mlp, viewmat, exposure, K, width, height,
+                    bg, sh_degree, eps2d, cluster_capacity):
+    """Jitted wrapper for host-side render calls (render_from_id, eval,
+    densify penalty): run eagerly, render_core is hundreds of per-op
+    dispatches — on a tunneled TPU backend the dispatch round-trips
+    dominate the actual render time."""
+    return render_core(slab, gfeat, mlp, viewmat, exposure, K, width,
+                       height, bg, sh_degree, eps2d, cluster_capacity)
+
+
 # ---------------------------------------------------------------------------
 # Optimization step (jitted once per (capacity, lvl))
 # ---------------------------------------------------------------------------
 
-@partial(
-    jax.jit,
-    static_argnames=("width", "height", "lvl", "is_important", "cfg",
-                     "is_test"),
-)
-def optimization_step_core(
+def _train_iter(
     slab: G.GaussianSlab,
     opt: G.SlabOptState,
     gfeat: GlobalFeats,
@@ -191,14 +201,20 @@ def optimization_step_core(
     mono_idepth: jax.Array,  # (1, h, w) at lvl
     K_lvl: jax.Array,
     bg: jax.Array,
+    is_test: jax.Array,      # () bool, TRACED (scannable over keyframes)
     width: int,
     height: int,
     lvl: int,
     is_important: bool,
-    is_test: bool,
     cfg: MapperConfig,
 ):
-    """One mapper training iteration (h3dgsv3.optimization_step :401-470)."""
+    """One mapper training iteration (h3dgsv3.optimization_step :401-470).
+
+    ``is_test`` is a traced scalar so a whole keyframe burst (mixed
+    train/test frames) can run under one ``lax.scan``: test frames train
+    only their pose (scene/mlp/global-feat updates masked out), exactly
+    the reference semantics (h3dgsv3.py:458-464, keyframe.py:115-124).
+    """
 
     def loss_fn(trained, r_kf, t_kf, e_kf):
         slab_t = dataclasses.replace(slab, **trained["slab"])
@@ -298,47 +314,123 @@ def optimization_step_core(
         ),
     )
 
-    if not is_test:
-        # ---- scene Adam (visibility-masked) ----------------------------
-        lrs = dict(
-            f_dc=cfg.feature_lr, f_rest=cfg.feature_lr / 20.0,
-            scaling=cfg.scaling_lr, rotation=cfg.rotation_lr,
-            opacity=cfg.opacity_lr, local_feat=cfg.feat_lr, xyz=None,
+    # ---- scene Adam (visibility-masked; no-op rows when is_test) --------
+    not_test = ~is_test
+    vis_eff = vis & not_test
+    lrs = dict(
+        f_dc=cfg.feature_lr, f_rest=cfg.feature_lr / 20.0,
+        scaling=cfg.scaling_lr, rotation=cfg.rotation_lr,
+        opacity=cfg.opacity_lr, local_feat=cfg.feat_lr, xyz=None,
+    )
+    slab, opt = G.apply_adam(
+        slab, opt, g_trained["slab"], vis_eff, lrs,
+        cfg.adam_b1, cfg.adam_b2, cfg.adam_eps,
+    )
+    slab = G.decay_xyz_lr(
+        slab, vis_eff, cfg.position_lr_decay, cfg.position_lr_init * 0.1
+    )
+    # global feats: masked by cluster visibility, per-row lr + decay
+    gv, g_opt = adam.adam_update_masked(
+        gfeat.val, g_trained["gfeat"], gfeat.opt, gfeat.lr,
+        gvis & not_test,
+        b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
+    )
+    # global_feat has no lr_dict entry by default -> no decay (:106-133)
+    gfeat = GlobalFeats(val=gv, lr=gfeat.lr, opt=g_opt)
+    # mlp_cov: dense Adam + lr decay (frozen entirely on test frames)
+    new_mlp = {}
+    new_mlp_opt = {}
+    for name in ("w1", "b1", "w2", "b2"):
+        p0 = getattr(mlp, name)
+        p, st = adam.adam_update_basic(
+            p0, getattr(g_trained["mlp"], name),
+            mlp_opt[name], mlp_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
+            eps=cfg.adam_eps,
         )
-        slab, opt = G.apply_adam(
-            slab, opt, g_trained["slab"], vis, lrs,
-            cfg.adam_b1, cfg.adam_b2, cfg.adam_eps,
+        new_mlp[name] = jnp.where(is_test, p0, p)
+        new_mlp_opt[name] = adam.AdamState(
+            jnp.where(is_test, mlp_opt[name].exp_avg, st.exp_avg),
+            jnp.where(is_test, mlp_opt[name].exp_avg_sq, st.exp_avg_sq),
         )
-        slab = G.decay_xyz_lr(
-            slab, vis, cfg.position_lr_decay, cfg.position_lr_init * 0.1
-        )
-        # global feats: masked by cluster visibility, per-row lr + decay
-        gv, g_opt = adam.adam_update_masked(
-            gfeat.val, g_trained["gfeat"], gfeat.opt, gfeat.lr, gvis,
-            b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
-        )
-        # global_feat has no lr_dict entry by default -> no decay (:106-133)
-        gfeat = GlobalFeats(val=gv, lr=gfeat.lr, opt=g_opt)
-        # mlp_cov: dense Adam + lr decay
-        new_mlp = {}
-        new_mlp_opt = {}
-        for name in ("w1", "b1", "w2", "b2"):
-            p, st = adam.adam_update_basic(
-                getattr(mlp, name), getattr(g_trained["mlp"], name),
-                mlp_opt[name], mlp_lr, b1=cfg.adam_b1, b2=cfg.adam_b2,
-                eps=cfg.adam_eps,
-            )
-            new_mlp[name] = p
-            new_mlp_opt[name] = st
-        mlp = MlpCov(**new_mlp)
-        mlp_opt = new_mlp_opt
-        mlp_lr = jnp.maximum(
-            mlp_lr * cfg.mlp_cov_lr_decay, cfg.mlp_cov_lr_init * 0.1
-        )
+    mlp = MlpCov(**new_mlp)
+    mlp_opt = new_mlp_opt
+    mlp_lr = jnp.where(
+        is_test, mlp_lr,
+        jnp.maximum(mlp_lr * cfg.mlp_cov_lr_decay, cfg.mlp_cov_lr_init * 0.1),
+    )
 
     metrics = dict(loss=aux["loss"], l1=aux["l1"], ssim=aux["ssim"],
                    depth=aux["depth"])
     return slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, metrics
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "lvl", "is_important", "cfg"),
+)
+def optimization_step_core(
+    slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, kf_idx,
+    gt_image, mono_idepth, K_lvl, bg, is_test,
+    width: int, height: int, lvl: int, is_important: bool, cfg: MapperConfig,
+):
+    """One jitted training iteration (kept for single-step callers/tests)."""
+    return _train_iter(
+        slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, kf_idx,
+        gt_image, mono_idepth, K_lvl, bg, is_test,
+        width, height, lvl, is_important, cfg,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "lvl", "is_important", "cfg"),
+)
+def optimization_burst_core(
+    slab: G.GaussianSlab,
+    opt: G.SlabOptState,
+    gfeat: GlobalFeats,
+    mlp: MlpCov,
+    mlp_opt,
+    mlp_lr: jax.Array,
+    pool: KF.KeyframePool,
+    kf_idx: jax.Array,       # (n,) int32 — presampled keyframe per iteration
+    gts: jax.Array,          # (n, 3, h, w)
+    monos: jax.Array,        # (n, 1, h, w)
+    is_tests: jax.Array,     # (n,) bool
+    bgs: jax.Array,          # (n, 3)
+    K_lvl: jax.Array,
+    width: int,
+    height: int,
+    lvl: int,
+    is_important: bool,
+    cfg: MapperConfig,
+):
+    """A whole keyframe burst (the reference's 20/10-iteration
+    optimization_loop, h3dgsv3.py:479) as ONE device program.
+
+    The sequential loop dispatches one jitted step per iteration; on a
+    tunneled TPU backend each dispatch pays a host round-trip, and XLA
+    cannot overlap the iterations' gradient/update pipelines across jit
+    boundaries.  Scanning the (identical-math) iteration body over
+    presampled (keyframe, background) inputs removes n-1 dispatches per
+    burst.  Keyframe sampling stays on the host (exact reference RNG
+    semantics); stacked gt/mono rows are gathered from the device cache."""
+
+    def body(carry, x):
+        slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool = carry
+        ki, gt, mono, ist, bg = x
+        out = _train_iter(
+            slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, ki, gt, mono,
+            K_lvl, bg, ist, width, height, lvl, is_important, cfg,
+        )
+        return tuple(out[:-1]), out[-1]
+
+    carry, metrics = jax.lax.scan(
+        body, (slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool),
+        (kf_idx, gts, monos, is_tests, bgs),
+    )
+    last = jax.tree_util.tree_map(lambda a: a[-1], metrics)
+    return (*carry, last)
 
 
 # ---------------------------------------------------------------------------
@@ -443,6 +535,19 @@ def densify_candidates_core(
     )
 
 
+@jax.jit
+def _densify_prune_core(slab: G.GaussianSlab, centre_w: jax.Array,
+                        f: jax.Array, width: jax.Array) -> G.GaussianSlab:
+    """Opacity/screen-size prune before insert (h3dgsv3.py:893-903), fully
+    on device — the former host formulation pulled three capacity-sized
+    arrays to the host per keyframe."""
+    opac = jax.nn.sigmoid(slab.opacity[:, 0])
+    dist = jnp.linalg.norm(slab.xyz - centre_w, axis=-1)
+    screen = f * jnp.max(jnp.exp(slab.scaling), -1) / jnp.maximum(dist, 1e-9)
+    keep = (opac > 0.05) & (screen < 0.5 * width)
+    return G.prune(slab, keep)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def weed_core(slab: G.GaussianSlab, cam_centres: jax.Array,
               used: jax.Array, visible_threshold: float, chunk: int = 64):
@@ -504,7 +609,9 @@ class SceneModel:
         self.mlp_opt = {
             n: adam.init_state(getattr(self.mlp, n)) for n in ("w1", "b1", "w2", "b2")
         }
-        self.mlp_lr = jnp.asarray(cfg.mlp_cov_lr_init)
+        # explicit dtype: a weak-typed scalar would give the jitted steps a
+        # different cache signature than the prewarm's ShapeDtypeStructs
+        self.mlp_lr = jnp.asarray(cfg.mlp_cov_lr_init, jnp.float32)
         self.pool = KF.create_pool(cfg.keyframe_capacity)
         self.cluster_state = clustering.create_cluster_state(cfg.voxel_table_size)
 
@@ -690,7 +797,7 @@ class SceneModel:
         w, h = self.width // lvl_scale, self.height // lvl_scale
         viewmat = KF.get_Rt(self.pool, keyframe_id)
         expo = self.pool.exposure[keyframe_id]
-        return render_core(
+        return render_core_jit(
             self.slab, self.gfeat.val, self.mlp, viewmat, expo,
             self._K_at_lvl(pyr_lvl), w, h, jnp.asarray(bg),
             self.cfg.sh_degree, self.cfg.low_pass_filter_eps,
@@ -739,19 +846,70 @@ class SceneModel:
             self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,
             self.mlp_lr, self.pool, jnp.asarray(keyframe_id),
             gt, mono, self._K_at_lvl(lvl), bg,
-            w, h, lvl, is_important, bool(kf.is_test), self.cfg,
+            jnp.asarray(bool(kf.is_test)),
+            w, h, lvl, is_important, self.cfg,
         )
         self.last_trained_id = keyframe_id
         return metrics
 
-    def optimization_loop(self, n_iters: int, is_important: bool = True):
+    def _presample_iters(self, n_iters: int, finetuning: bool = False):
+        """Host-side keyframe + background sampling for a burst — the exact
+        per-iteration RNG consumption of the sequential optimization_step
+        (branch draw, maybe a randint, then the 3-vector background)."""
+        ids, bgs = [], []
+        for _ in range(n_iters):
+            if (
+                self._np_rng.rand() > self.cfg.use_last_frame_proba
+                or self.last_trained_id == -1
+                or finetuning
+            ):
+                kid = self.get_training_id()
+            else:
+                kid = len(self.keyframes) - 1
+            ids.append(kid)
+            self.last_trained_id = kid
+            bgs.append(self._np_rng.rand(3).astype(np.float32))
+        return ids, bgs
+
+    def _run_burst(self, ids, bgs, is_important: bool):
+        """One fused device program for a group of iterations sharing a
+        pyramid level."""
+        lvl = self.keyframes[ids[0]].pyr_lvl
+        s = 2 ** lvl
+        w, h = self.width // s, self.height // s
+        gts, monos = zip(*[self._device_kf(i, lvl) for i in ids])
+        (self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,
+         self.mlp_lr, self.pool, metrics) = optimization_burst_core(
+            self.slab, self.opt, self.gfeat, self.mlp, self.mlp_opt,
+            self.mlp_lr, self.pool,
+            jnp.asarray(ids, jnp.int32),
+            jnp.stack(gts), jnp.stack(monos),
+            jnp.asarray([bool(self.keyframes[i].is_test) for i in ids]),
+            jnp.asarray(np.stack(bgs)),
+            self._K_at_lvl(lvl), w, h, lvl, is_important, self.cfg,
+        )
+        return metrics
+
+    def optimization_loop(self, n_iters: int, is_important: bool = True,
+                          finetuning: bool = False):
+        if not self._has_gaussians or not self.keyframes:
+            return None
         m = None
-        if self._mesh is not None and self._has_gaussians and self.keyframes:
+        if self._mesh is not None:
             for _ in range(n_iters):
                 m = self._optimization_step_dp(is_important=is_important)
             return m
-        for _ in range(n_iters):
-            m = self.optimization_step(is_important=is_important)
+        ids, bgs = self._presample_iters(n_iters, finetuning=finetuning)
+        # group maximal runs of equal pyramid level (today all keyframes
+        # share pyr_levels-1, so this is one burst per loop)
+        i = 0
+        while i < len(ids):
+            j = i + 1
+            lvl = self.keyframes[ids[i]].pyr_lvl
+            while j < len(ids) and self.keyframes[ids[j]].pyr_lvl == lvl:
+                j += 1
+            m = self._run_burst(ids[i:j], bgs[i:j], is_important)
+            i = j
         return m
 
     # -- densification ---------------------------------------------------
@@ -766,7 +924,7 @@ class SceneModel:
         R_w2c = np.asarray(viewmat[:3, :3])
         t_w2c = np.asarray(viewmat[:3, 3])
 
-        has_scene = self.n_active_gaussians > 0
+        has_scene = self._has_gaussians   # host-tracked; no device sync
         if has_scene:
             pkg = self.render_from_id(keyframe_id)
             render_rgb = pkg["render"]
@@ -825,29 +983,33 @@ class SceneModel:
 
         # prune before insert (opacity/screen-size, reference :893-903)
         if has_scene:
-            opac = np.asarray(jax.nn.sigmoid(self.slab.opacity[:, 0]))
             centre_w = -t_w2c @ R_w2c
-            dist = np.asarray(
-                jnp.linalg.norm(self.slab.xyz - jnp.asarray(centre_w), axis=-1)
+            self.slab = _densify_prune_core(
+                self.slab, jnp.asarray(centre_w),
+                jnp.asarray(self.f, jnp.float32),
+                jnp.asarray(self.width, jnp.float32),
             )
-            screen = self.f * np.asarray(jnp.exp(self.slab.scaling).max(-1)) / np.maximum(dist, 1e-9)
-            keep = jnp.asarray((opac > 0.05) & (screen < 0.5 * self.width))
-            self.slab = G.prune(self.slab, keep)
 
-        # grow the slab when nearly full (recompile per power-of-two step)
-        want = int(self.slab.num_active()) + int(jnp.sum(new_valid))
+        # grow the slab when nearly full (recompile per power-of-two step);
+        # ONE fused readback for the two counts the host decision needs
+        n_act, n_new = np.asarray(jnp.stack([
+            self.slab.num_active(), jnp.sum(new_valid)
+        ])).tolist()
+        want = n_act + n_new
         cap = self.slab.capacity
         while want > 0.85 * cap and cap < self.cfg.capacity:
             cap = min(cap * 2, self.cfg.capacity)
         if cap != self.slab.capacity:
             self.slab, self.opt = G.grow(self.slab, self.opt, cap)
 
-        self.slab, self.opt, n_inserted = G.insert(
+        self.slab, self.opt, _ = G.insert(
             self.slab, self.opt, new_fields, new_valid
         )
 
         self.weed_out_gaussians()
-        n_inserted = int(n_inserted)
+        # inserted count derived host-side (insert drops beyond free slots):
+        # no extra device sync
+        n_inserted = min(int(n_new), cap - int(n_act))
         self._has_gaussians = self._has_gaussians or n_inserted > 0
         return n_inserted
 
@@ -929,14 +1091,13 @@ class SceneModel:
             n: adam.init_state(getattr(self.mlp, n))
             for n in ("w1", "b1", "w2", "b2")
         }
-        self.mlp_lr = jnp.asarray(self.cfg.mlp_cov_lr_init)
+        self.mlp_lr = jnp.asarray(self.cfg.mlp_cov_lr_init, jnp.float32)
         self.gfeat = GlobalFeats(
             val=self.gfeat.val,
             lr=jnp.full_like(self.gfeat.lr, self.cfg.feat_lr),
             opt=adam.init_state(self.gfeat.val),
         )
-        for _ in range(len(self.keyframes)):
-            self.optimization_step(finetuning=True)
+        self.optimization_loop(len(self.keyframes), finetuning=True)
 
     def enable_inference_mode(self):
         self.inference_mode = True

@@ -1,0 +1,231 @@
+"""System-wide ahead-of-time compilation of the streaming hot path.
+
+VERDICT r3 weak #3: with a cold persistent cache the first frames stall for
+minutes (frame 0 = 286 s in BENCH r4's first run: ~260 s of that was the
+mapper step compile; the first keyframe adds the GN + symmetric-cascade
+compiles).  The FactorGraph already prewarms its solver ladder
+(``vslam/global_opt.py:_prewarm_solver``); this module extends the same
+pattern — ``jit.lower(ShapeDtypeStruct...).compile()`` on daemon threads —
+to every jitted stage of the pipeline, so the XLA executables land in the
+persistent compilation cache (``utils/cache.py``) while the first frames
+stream.  Each stage logs its compile time and whether the persistent cache
+hit (a hit compiles in well under a second; VERDICT r3 asked for the
+hit/miss to be observable).
+
+Shape derivation: everything follows from (H_slam, W_slam), the descriptor
+dim (24 for MASt3R and the oracle), the mapper config, and the config
+statics — the exact quantities ``System.__init__`` already holds, so
+``prewarm_system(system)`` needs no extra inputs.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from functools import partial
+
+
+def _sds_like(tree):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), tree
+    )
+
+
+def _compile_one(name: str, lowerable, verbose: bool):
+    t0 = time.perf_counter()
+    try:
+        lowerable().compile()
+        dt = time.perf_counter() - t0
+        if verbose:
+            import sys
+
+            hit = "cache-hit" if dt < 1.0 else "compiled"
+            print(f"[prewarm] {name}: {hit} in {dt:.1f}s",
+                  file=sys.stderr, flush=True)
+    except Exception as e:  # pragma: no cover - prewarm is best-effort
+        if verbose:
+            import sys
+
+            print(f"[prewarm] {name}: FAILED ({type(e).__name__}: {e})",
+                  file=sys.stderr, flush=True)
+
+
+def prewarm_system(system, verbose: bool = True, sync: bool = False,
+                   threads: int = 4):
+    """Start compiling every hot jitted stage for ``system``'s shapes.
+
+    Returns the worker threads (daemons); pass ``sync=True`` to block until
+    all compiles land (tests / cache-priming runs).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from artdeco_tpu.mapper import gaussians as G
+    from artdeco_tpu.mapper import scene_model as SM
+    from artdeco_tpu.ops import matching as M
+    from artdeco_tpu.vslam import tracker as trk
+    from artdeco_tpu.vslam.global_opt import FactorGraph
+
+    sds = jax.ShapeDtypeStruct
+    f32 = jnp.float32
+    h, w = system.dataset.H_slam, system.dataset.W_slam
+    hw = h * w
+    d = int(getattr(system.frontend.runner, "desc_dim", 24))
+    mcfg = system.scene_model.cfg
+    mcfg_match = system.config["matching"]
+    jobs = []
+
+    # ---- matching cascade: tracker (b=1) + symmetric buckets (2b rows) ----
+    cascade_statics = dict(
+        max_iter=int(mcfg_match["max_iter"]),
+        lambda_init=float(mcfg_match["lambda_init"]),
+        cost_thresh=float(mcfg_match["convergence_thresh"]),
+        dist_thresh=float(mcfg_match["dist_thresh"]),
+        radius=int(mcfg_match["radius"]),
+        dilation_max=int(mcfg_match["dilation_max"]),
+        refine_dtype=mcfg_match.get("refine_dtype", "bfloat16"),
+    )
+    for b in (1, 2, 4, 8):
+        def low(b=b):
+            return M._match_cascade.lower(
+                sds((b, h, w, 3), f32), sds((b, h, w, 3), f32),
+                sds((b, h, w, d), f32), sds((b, h, w, d), f32),
+                sds((b, hw), jnp.int32) if b == 1 else None,
+                **cascade_statics,
+            )
+        jobs.append((f"match_cascade[b={b}]", low))
+
+    # ---- tracker fused step ----------------------------------------------
+    tcfg = system.frontend.tracker.cfg
+
+    def low_track():
+        a3 = sds((hw, 3), f32)
+        a1 = sds((hw, 1), f32)
+        return trk.track_step.lower(
+            a3, a1, a3, a1, sds((), jnp.int32),
+            a3, a1, a3, a1, sds((), jnp.int32),
+            sds((hw,), jnp.int32), sds((hw, 1), jnp.bool_), a1, a1,
+            sds((8,), f32), sds((8,), f32), sds((3, 3), f32), sds((), f32),
+            float(system.frontend.tracker.min_displacement), (h, w), tcfg,
+            thres_keyframe=float(system.frontend.tracker.thres_keyframe),
+            optimize_focal=system.frontend.tracker.optimize_focal,
+            covariance_filter=system.frontend.tracker.covariance_filter,
+        )
+    jobs.append(("track_step", low_track))
+
+    # ---- factor-graph edge post (buckets) ----------------------------------
+    q_conf = float(system.config["local_opt"]["Q_conf"])
+    for b in (1, 2, 4):
+        def low_ep(b=b):
+            return FactorGraph._edge_post.lower(
+                sds((b, hw), jnp.int32), sds((b, hw), jnp.int32),
+                sds((b, hw, 1), jnp.bool_), sds((b, hw, 1), jnp.bool_),
+                sds((b, hw, 1), f32), sds((b, hw, 1), f32),
+                sds((b, hw, 1), f32), sds((b, hw, 1), f32), q_conf=q_conf,
+            )
+        jobs.append((f"edge_post[b={b}]", low_ep))
+
+    # ---- mapper: burst (both schedules), densify, insert, render ----------
+    sm = system.scene_model
+    Wm, Hm = sm.width, sm.height
+    lvl = mcfg.pyr_levels - 1
+    s = 2 ** lvl
+    wl, hl = Wm // s, Hm // s
+    slab_s = _sds_like(sm.slab)
+    opt_s = _sds_like(sm.opt)
+    gfeat_s = _sds_like(sm.gfeat)
+    mlp_s = _sds_like(sm.mlp)
+    mlp_opt_s = _sds_like(sm.mlp_opt)
+    pool_s = _sds_like(sm.pool)
+    n_key = int(getattr(system.args, "num_key_iterations", 30))
+    n_common = int(getattr(system.args, "num_common_iterations", 0))
+    for n_it, imp in {(n_key, True), (n_common, False)}:
+        if n_it <= 0:
+            continue
+
+        def low_burst(n_it=n_it, imp=imp):
+            return SM.optimization_burst_core.lower(
+                slab_s, opt_s, gfeat_s, mlp_s, mlp_opt_s, sds((), f32),
+                pool_s, sds((n_it,), jnp.int32),
+                sds((n_it, 3, hl, wl), f32), sds((n_it, 1, hl, wl), f32),
+                sds((n_it,), jnp.bool_), sds((n_it, 3), f32),
+                sds((3, 3), f32), wl, hl, lvl, imp, mcfg,
+            )
+        jobs.append((f"mapper_burst[n={n_it},imp={imp}]", low_burst))
+
+    def low_render():
+        return SM.render_core_jit.lower(
+            slab_s, _sds_like(sm.gfeat.val), mlp_s, sds((4, 4), f32),
+            sds((3, 4), f32), sds((3, 3), f32), Wm, Hm, sds((3,), f32),
+            mcfg.sh_degree, mcfg.low_pass_filter_eps, mcfg.cluster_capacity,
+        )
+    jobs.append(("render_core", low_render))
+
+    budget = mcfg.new_budget // len(SM.LODS)
+    for lod in SM.LODS:
+        b_lod = min(budget, (Hm // lod) * (Wm // lod))
+
+        def low_dens(lod=lod, b_lod=b_lod):
+            return SM.densify_candidates_core.lower(
+                sds((3, Hm, Wm), f32), sds((3, Hm, Wm), f32),
+                sds((1, Hm, Wm), f32), sds((), jnp.bool_),
+                sds((1, h, w), f32), sds((1, h, w), f32),
+                sds((3, 3), f32), sds((3,), f32), float(sm.f),
+                sds((2,), jnp.uint32), lod, Wm, Hm, b_lod, mcfg,
+            )
+        jobs.append((f"densify[lod={lod}]", low_dens))
+
+    b_total = sum(
+        min(budget, (Hm // lod) * (Wm // lod)) for lod in SM.LODS
+    )
+    k = (mcfg.sh_degree + 1) ** 2
+
+    def low_insert():
+        new_s = dict(
+            xyz=sds((b_total, 3), f32), f_dc=sds((b_total, 1, 3), f32),
+            f_rest=sds((b_total, k - 1, 3), f32),
+            scaling=sds((b_total, 3), f32), rotation=sds((b_total, 4), f32),
+            opacity=sds((b_total, 1), f32),
+            local_feat=sds((b_total, mcfg.local_feat_dim), f32),
+            d_max=sds((b_total, 1), f32), cls_id=sds((b_total,), jnp.int32),
+            kf_id=sds((b_total,), jnp.int32), xyz_lr=sds((b_total,), f32),
+        )
+        return G.insert.lower(slab_s, opt_s, new_s, sds((b_total,), jnp.bool_))
+    jobs.append(("slab_insert", low_insert))
+
+    def low_prune():
+        return SM._densify_prune_core.lower(
+            slab_s, sds((3,), f32), sds((), f32), sds((), f32)
+        )
+    jobs.append(("densify_prune", low_prune))
+
+    def low_weed():
+        return SM.weed_core.lower(
+            slab_s, sds((mcfg.keyframe_capacity, 3), f32),
+            sds((mcfg.keyframe_capacity,), jnp.bool_),
+            float(mcfg.visible_threshold),
+        )
+    jobs.append(("weed", low_weed))
+
+    # ---- run on a small thread pool ----------------------------------------
+    lock = threading.Lock()
+    queue = list(jobs)
+
+    def run():
+        while True:
+            with lock:
+                if not queue:
+                    return
+                name, low = queue.pop(0)
+            _compile_one(name, low, verbose)
+
+    ts = [threading.Thread(target=run, daemon=True)
+          for _ in range(max(1, threads))]
+    for t in ts:
+        t.start()
+    if sync:
+        for t in ts:
+            t.join()
+    return ts

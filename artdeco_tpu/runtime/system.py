@@ -101,6 +101,57 @@ class _Prefetcher:
             yield item
 
 
+class _MapperWorker:
+    """Background consumer of backend work items (the overlapped runtime,
+    SURVEY §7 step 8).
+
+    Replaces the reference's backend/mapper OS processes overlapping the
+    frontend (``run_system.py:105-110``): the main thread keeps tracking
+    while mapper-frame matching, dense-point readbacks, host pyramid
+    construction, and scene optimization drain here in message order (FIFO
+    = the reference's queue_B2M ordering).  Work items carry value
+    snapshots (Frames are immutable jax-array views with copied poses)
+    taken at the same logical point as the sequential schedule, and
+    nothing here writes tracker-visible state — so the trajectory is
+    bit-identical to the sequential schedule (tested).  The bounded queue
+    is the reference's maxsize backpressure (SharedStates.py:18-19)."""
+
+    def __init__(self, system, depth: int = 4):
+        self.system = system
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.error = None
+        self.t = threading.Thread(target=self._run, daemon=True)
+        self.t.start()
+
+    def submit(self, work: dict, img_map=None):
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+        self.q.put((work, img_map))
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            try:
+                if item is None:
+                    return
+                work, img_map = item
+                mm = self.system.backend.process_async(work)
+                if mm is not None:
+                    self.system._handle_mapper_msg(mm, img_map=img_map)
+            except Exception as e:  # surfaced on the next submit/close
+                self.error = e
+            finally:
+                self.q.task_done()
+
+    def close(self):
+        self.q.put(None)
+        self.t.join()
+        if self.error is not None:
+            err, self.error = self.error, None
+            raise err
+
+
 def make_native_prefetcher(dataset, ring_size: int = 8, n_threads: int = 4):
     """Native C++ decode+resize pipeline when applicable (on-disk images,
     no undistortion remap); returns None to fall back to the Python path."""
@@ -166,6 +217,20 @@ class System:
             mesh = Mesh(np.array(avail[:n_dev]), ("dp",))
             self.scene_model.enable_mesh(mesh)
         self.mapper_cfg = mcfg
+        # AOT-compile the whole stage set on background threads (runtime/
+        # prewarm.py): with a warm persistent cache every stage dispatch
+        # hits; with a cold one the compiles overlap the first frames
+        # instead of serializing with them.  Default on for TPU (where a
+        # compile is 30-260 s); off on CPU test meshes.
+        import jax
+
+        want_prewarm = getattr(args, "prewarm", None)
+        if want_prewarm is None:
+            want_prewarm = jax.default_backend() == "tpu"
+        if want_prewarm:
+            from artdeco_tpu.runtime.prewarm import prewarm_system
+
+            prewarm_system(self)
         self.mapper_index = 0
         self.related_frames: dict = {}   # slam kf index -> [mapper ids]
         self.mapper_meta: list = []      # per mapper frame bookkeeping
@@ -215,13 +280,16 @@ class System:
             warnings.warn(f"auto-calibration failed, keeping guess: {e}")
 
     # -- mapper message handling (run_system.py:143-271) -------------------
-    def _handle_mapper_msg(self, m: dict):
+    def _handle_mapper_msg(self, m: dict, img_map=None):
         frame_id = m["frame_id"]
         last_kf_index = m["last_keyframe_index"]
         self.related_frames.setdefault(last_kf_index, []).append(
             self.mapper_index
         )
-        if frame_id in self._map_cache:
+        if img_map is not None:
+            info = dict(self.dataset.infos[
+                self.dataset.image_name_list[frame_id]])
+        elif frame_id in self._map_cache:
             img_map = self._map_cache.pop(frame_id)
             info = dict(self.dataset.infos[
                 self.dataset.image_name_list[frame_id]])
@@ -302,7 +370,16 @@ class System:
 
     # -- main loop ----------------------------------------------------------
     def run(self, max_frames: Optional[int] = None, progress: bool = True,
-            use_native_loader: bool = True):
+            use_native_loader: bool = True, overlap: Optional[bool] = None):
+        """Stream the dataset through track -> backend -> map.
+
+        ``overlap`` (default: args.async_pipeline, else True) runs the
+        mapper-facing half of the pipeline on a worker thread, overlapping
+        it with tracking — the reference's 3-process concurrency with the
+        hard-sync keyframe barrier kept (Frontend.py:119-124).  The
+        trajectory is identical either way; only wall-clock differs."""
+        if overlap is None:
+            overlap = bool(getattr(self.args, "async_pipeline", True))
         self.start_time = time.time()
         native = make_native_prefetcher(self.dataset) if use_native_loader else None
         if native is not None:
@@ -344,9 +421,12 @@ class System:
             import contextlib
 
             annotate = lambda name: contextlib.nullcontext()
+        worker = _MapperWorker(self) if overlap else None
         try:
-            self._stream_loop(it, bar, max_frames, annotate)
+            self._stream_loop(it, bar, max_frames, annotate, worker)
         finally:
+            if worker is not None:
+                worker.close()
             if profile_dir:
                 import jax
 
@@ -355,7 +435,7 @@ class System:
             bar.close()
         return self
 
-    def _stream_loop(self, it, bar, max_frames, annotate):
+    def _stream_loop(self, it, bar, max_frames, annotate, worker=None):
         for original_image, info in it:
             t0 = time.time()
             with annotate("frontend.track"):
@@ -363,20 +443,33 @@ class System:
             self.runtimes.add("track", time.time() - t0)
             if msg is not None:
                 t0 = time.time()
-                with annotate("backend.process"):
-                    mapper_msg = self.backend.process(msg)
+                with annotate("backend.sync"):
+                    work = self.backend.process_sync(msg)
                 self.runtimes.add("backend", time.time() - t0)
-                if mapper_msg is not None:
-                    t0 = time.time()
-                    with annotate("mapper.step"):
-                        self._handle_mapper_msg(mapper_msg)
-                    self.runtimes.add("map", time.time() - t0)
+                if work is not None:
+                    if worker is not None:
+                        # map-res tensor is keyed by the CURRENT frame only
+                        # (native loader); grab it before the next frame
+                        # overwrites the cache
+                        img_map = self._map_cache.pop(msg["frame_id"], None)
+                        worker.submit(work, img_map)
+                    else:
+                        t0 = time.time()
+                        with annotate("mapper.step"):
+                            mapper_msg = self.backend.process_async(work)
+                            if mapper_msg is not None:
+                                self._handle_mapper_msg(mapper_msg)
+                        self.runtimes.add("map", time.time() - t0)
             self.n_frames += 1
             if bar is not None:
                 bar.update(1)
+                # n_active_gaussians is a device readback — in overlap mode
+                # it would block the tracking thread on the mapper's queued
+                # device work, defeating the overlap
+                gs = ("?" if worker is not None
+                      else self.scene_model.n_active_gaussians)
                 bar.set_postfix_str(
-                    f"kf={len(self.keyframes)} "
-                    f"gs={self.scene_model.n_active_gaussians} "
+                    f"kf={len(self.keyframes)} gs={gs} "
                     f"lost={self.frontend.lost_number}",
                     refresh=False,
                 )

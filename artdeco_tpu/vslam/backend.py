@@ -50,7 +50,28 @@ class Backend:
         return _time.perf_counter()
 
     # -- message dispatch (Backend.py:48-115) -----------------------------
+    #
+    # Split into two phases for the overlapped runtime (SURVEY §7 step 8):
+    #
+    #   * ``process_sync`` — everything that mutates tracker-visible state
+    #     (keyframe store, factor graph, retrieval DB) and must complete
+    #     before the next frame is tracked: relocalization and the keyframe
+    #     global optimization.  This is the reference's hard-sync barrier
+    #     (``Frontend.py:119-124``, default ON via args.py:188 store_false).
+    #     Returns a WORK item holding value snapshots (Frames are immutable
+    #     views: jax arrays + a copied pose), or None.
+    #   * ``process_async`` — the mapper-facing remainder (mapper-frame
+    #     matching, dense-point computation, message assembly) which never
+    #     feeds back into tracking; the overlapped System runs it on a
+    #     worker thread, exactly like the reference's backend/mapper
+    #     processes overlap the frontend (run_system.py:105-110).
+    #
+    # ``process`` composes both for the sequential path.
     def process(self, msg: dict) -> Optional[dict]:
+        work = self.process_sync(msg)
+        return self.process_async(work) if work is not None else None
+
+    def process_sync(self, msg: dict) -> Optional[dict]:
         style = msg["keyframe_style"]
         if style == int(KeyframeStyle.LOST):
             frame = msg["frame"]
@@ -62,19 +83,16 @@ class Backend:
             n_kf = len(self.keyframes)
             keyframe = self.keyframes[n_kf - 1]
             last_keyframe = self.keyframes[n_kf - 2] if n_kf > 1 else None
-            idx_k2l = None
+            embeddings = None
             if last_keyframe is not None:
-                ei = self.keyframes.get_embedding(n_kf - 1)
-                ej = self.keyframes.get_embedding(n_kf - 2)
-                out = self.runner.match_asymmetric(
-                    keyframe.img, last_keyframe.img,
-                    embeddings_i=ei, embeddings_j=ej,
+                embeddings = (
+                    self.keyframes.get_embedding(n_kf - 1),
+                    self.keyframes.get_embedding(n_kf - 2),
                 )
-                idx_k2l = out[0]
-            return self.prepare_for_mapper(
-                keyframe, last_keyframe, n_kf - 1, idx_k2l,
+            return dict(
+                kind="reloc", keyframe=keyframe, last_keyframe=last_keyframe,
+                kf_index=n_kf - 1, embeddings=embeddings, lc_inds=lc_inds,
                 is_test=msg["is_test"], is_important=msg["is_important"],
-                loop_keyframe_index=lc_inds, is_slam_keyframe=True,
                 focal=msg["focal"], timestamp=msg["timestamp"],
             )
         if style == int(KeyframeStyle.KEYFRAME):
@@ -83,27 +101,65 @@ class Backend:
                     msg["keyframe_id"], track_match=msg.get("track_match")
                 )
             )
-            return self.prepare_for_mapper(
-                keyframe, last_keyframe, msg["keyframe_id"], idx_k2l,
+            return dict(
+                kind="keyframe", keyframe=keyframe,
+                last_keyframe=last_keyframe, kf_index=msg["keyframe_id"],
+                idx_k2l=idx_k2l, lc_inds=lc_inds,
                 is_test=msg["is_test"], is_important=msg["is_important"],
-                loop_keyframe_index=lc_inds, is_slam_keyframe=True,
                 focal=msg["focal"], timestamp=msg["timestamp"],
             )
         if style == int(KeyframeStyle.MAPPER_FRAME):
-            frame: Frame = msg["frame"]
             kf_id = msg["keyframe_id"]
-            last_keyframe = self.keyframes[kf_id]
-            ej = self.keyframes.get_embedding(kf_id)
+            return dict(
+                kind="mapper_frame", frame=msg["frame"],
+                last_keyframe=self.keyframes[kf_id], kf_index=kf_id,
+                embedding_j=self.keyframes.get_embedding(kf_id),
+                is_test=msg["is_test"], is_important=msg["is_important"],
+                focal=msg["focal"], timestamp=msg["timestamp"],
+            )
+        return None
+
+    def process_async(self, work: dict) -> Optional[dict]:
+        kind = work["kind"]
+        if kind == "reloc":
+            keyframe = work["keyframe"]
+            last_keyframe = work["last_keyframe"]
+            idx_k2l = None
+            if last_keyframe is not None:
+                ei, ej = work["embeddings"]
+                out = self.runner.match_asymmetric(
+                    keyframe.img, last_keyframe.img,
+                    embeddings_i=ei, embeddings_j=ej,
+                )
+                idx_k2l = out[0]
+            return self.prepare_for_mapper(
+                keyframe, last_keyframe, work["kf_index"], idx_k2l,
+                is_test=work["is_test"], is_important=work["is_important"],
+                loop_keyframe_index=work["lc_inds"], is_slam_keyframe=True,
+                focal=work["focal"], timestamp=work["timestamp"],
+            )
+        if kind == "keyframe":
+            return self.prepare_for_mapper(
+                work["keyframe"], work["last_keyframe"], work["kf_index"],
+                work["idx_k2l"],
+                is_test=work["is_test"], is_important=work["is_important"],
+                loop_keyframe_index=work["lc_inds"], is_slam_keyframe=True,
+                focal=work["focal"], timestamp=work["timestamp"],
+            )
+        if kind == "mapper_frame":
+            frame: Frame = work["frame"]
+            last_keyframe = work["last_keyframe"]
             (idx_k2l, vml, Xkk, Ckk, Qkk, Xlk, Clk, Qlk, _, _) = (
                 self.runner.match_asymmetric(
-                    frame.img, last_keyframe.img, embeddings_j=ej,
+                    frame.img, last_keyframe.img,
+                    embeddings_j=work["embedding_j"],
                 )
             )
             frame = frame.update_pointmap(Xkk, Ckk)
             return self.prepare_for_mapper(
-                frame, last_keyframe, kf_id, idx_k2l,
-                is_test=msg["is_test"], is_important=msg["is_important"],
-                focal=msg["focal"], timestamp=msg["timestamp"],
+                frame, last_keyframe, work["kf_index"], idx_k2l,
+                is_test=work["is_test"], is_important=work["is_important"],
+                focal=work["focal"], timestamp=work["timestamp"],
             )
         return None
 

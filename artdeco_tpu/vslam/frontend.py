@@ -40,6 +40,8 @@ class CameraTracker:
         self.optimize_focal = optimize_focal
         self.covariance_filter = covariance_filter
         self.point_fusion = point_fusion
+        # per-substage wall-clock accumulators [sum_s, n]
+        self.timers: dict = {}
         self.idx_f2k = None
         self.last_embedding = None
         self._emb_kf_idx = -1   # keyframe index last_embedding belongs to
@@ -89,11 +91,21 @@ class CameraTracker:
             frame = dataclasses.replace(
                 frame, T_WC=jnp.asarray(self.keyframes.T_WC[kf_idx])
             )
+        import time as _time
+
+        def _t(key, t0):
+            acc = self.timers.setdefault(key, [0.0, 0])
+            acc[0] += _time.perf_counter() - t0
+            acc[1] += 1
+            return _time.perf_counter()
+
+        t0 = _time.perf_counter()
         (idx_f2k, valid_match_k, Xff, Cff, Qff, Xkf, Ckf, Qkf, featf, posf
          ) = self.runner.match_asymmetric(
             frame.img, keyframe.img, idx_i2j_init=self.idx_f2k,
             embeddings_j=self.last_embedding,
         )
+        t0 = _t("trk.match_dispatch", t0)
         self.idx_f2k = idx_f2k
         # device references only — consumed by the backend if this frame
         # becomes a keyframe (avoids re-running the identical pair decode +
@@ -120,7 +132,9 @@ class CameraTracker:
                 covariance_filter=self.covariance_filter,
             )
         )
+        t0 = _t("trk.step_dispatch", t0)
         match_frac, ok, is_kf_f, is_km_f, dist = np.asarray(flags).tolist()
+        _t("trk.flags_pull", t0)   # device wait: match + step execution
         frame = dataclasses.replace(frame, X_canon=fX, C=fC, N=fN)
         if match_frac < self.cfg.min_match_frac or ok < 0.5:
             return frame, True, False, False

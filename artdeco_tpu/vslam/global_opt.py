@@ -498,7 +498,16 @@ class FactorGraph:
         self._dev_pcap = 0
         # background-compiled (P, E) solver variants (see _prewarm_solver)
         self._warmed: set = set()
+        self.timers: dict = {}   # substage wall-clock [sum_s, n]
         self._prewarm_solver(32, 64)
+
+    def _t(self, key: str, t0: float):
+        import time as _time
+
+        acc = self.timers.setdefault(key, [0.0, 0])
+        acc[0] += _time.perf_counter() - t0
+        acc[1] += 1
+        return _time.perf_counter()
 
     def __len__(self):
         return len(self.ii)
@@ -648,8 +657,11 @@ class FactorGraph:
         fraction above threshold (global_opt.py:40-113)."""
         if not ii:
             return False
+        import time as _time
+
         import jax.numpy as jnp
 
+        t0 = _time.perf_counter()
         n_real = len(ii)
         pad_to = 1
         while pad_to < n_real:
@@ -673,6 +685,7 @@ class FactorGraph:
             self.runner.match_symmetric(feat_i, pos_i, feat_j, pos_j,
                                         (self.h, self.w))
         )
+        t0 = self._t("fg.match_sym_dispatch", t0)
         idx_i2j = jnp.asarray(idx_i2j)
         idx_j2i = jnp.asarray(idx_j2i)
         vm_j = jnp.asarray(vm_j)
@@ -683,6 +696,7 @@ class FactorGraph:
             jnp.asarray(Qij), q_conf=float(self.cfg["Q_conf"]),
         )
         fracs = np.asarray(fracs)       # (2, b) — the only payload pulled
+        t0 = self._t("fg.fracs_pull", t0)  # device wait: matching cascades
         frac_j, frac_i = fracs[0][:n_real], fracs[1][:n_real]
 
         ii_arr = np.asarray(ii[:n_real])
@@ -728,6 +742,7 @@ class FactorGraph:
         for r in kept:
             self.ii.append(int(ii_arr[r]))
             self.jj.append(int(jj_arr[r]))
+        self._t("fg.edge_store", t0)
         return True
 
     @staticmethod
@@ -801,8 +816,11 @@ class FactorGraph:
     DENSE_POSE_LIMIT = 256
 
     def solve_GN_calib(self):
+        import time as _time
+
         from artdeco_tpu.geometry import projection as proj
 
+        t0 = _time.perf_counter()
         pin = int(self.cfg["pin"])
         n_e = self.n_directed
         uniq = np.unique(np.stack([self.e_ii[:n_e], self.e_jj[:n_e]]))
@@ -846,6 +864,7 @@ class FactorGraph:
             gauss_newton_calib if P <= self.DENSE_POSE_LIMIT
             else gauss_newton_calib_sparse
         )
+        t0 = self._t("gn.prep", t0)
         T_new = solver(
             jnp.asarray(T), Xs_j, Cs_j, jnp.asarray(self.K),
             jnp.asarray(ii_p), jnp.asarray(jj_p),
@@ -856,7 +875,9 @@ class FactorGraph:
             self.h, self.w,
             **self._solver_statics(),
         )
+        t0 = self._t("gn.solve_dispatch", t0)
         T_new = np.asarray(T_new)
+        t0 = self._t("gn.pose_pull", t0)   # device wait: GN iterations
         # write back all but the pinned prefix (global_opt.py:231)
         upd = uniq[pin:]
         self.keyframes.update_T_WCs(

@@ -206,3 +206,41 @@ def test_max_active_keyframes_bounds_device_residency():
     # training keeps sampling from the active subset only
     ids = {sm.get_training_id() for _ in range(50)}
     assert ids <= set(sm._active_ids)
+
+
+def test_burst_matches_sequential_steps():
+    """optimization_loop (one fused lax.scan burst) must reproduce the
+    per-iteration optimization_step dispatch loop: identical host RNG
+    consumption, identical math (VERDICT r4: mapper burst fusion)."""
+    def build():
+        np.random.seed(3)
+        sm = SceneModel(W, H, K, CFG, seed=3)
+        kf0, Rt0 = _plane_keyframe(0)
+        sm.add_keyframe(kf0, Rt0)
+        sm.add_new_gaussians(0)
+        kf1, Rt1 = _plane_keyframe(1, t_x=0.03, is_test=True)
+        sm.add_keyframe(kf1, Rt1)
+        return sm
+
+    n = 6
+    a = build()
+    for _ in range(n):
+        a.optimization_step(is_important=True)
+    b = build()
+    b.optimization_loop(n, is_important=True)
+
+    assert a.last_trained_id == b.last_trained_id
+    for key in ("xyz", "opacity", "scaling", "f_dc", "local_feat"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(a.slab, key)), np.asarray(getattr(b.slab, key)),
+            atol=2e-5, rtol=1e-4, err_msg=key,
+        )
+    np.testing.assert_allclose(
+        np.asarray(a.pool.r_w2c), np.asarray(b.pool.r_w2c), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.pool.t_w2c), np.asarray(b.pool.t_w2c), atol=2e-6)
+    np.testing.assert_allclose(
+        np.asarray(a.pool.exposure), np.asarray(b.pool.exposure), atol=2e-6)
+    # test-frame protection survives the traced is_test path
+    np.testing.assert_allclose(
+        np.asarray(a.mlp.w1), np.asarray(b.mlp.w1), atol=2e-6)
