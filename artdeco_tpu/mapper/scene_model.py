@@ -88,26 +88,17 @@ def create_global_feats(capacity: int, dim: int, lr_init: float) -> GlobalFeats:
 # Render core
 # ---------------------------------------------------------------------------
 
-def render_core(
+def effective_params(
     slab: G.GaussianSlab,
     gfeat: jax.Array,        # (Cg, Dg)
     mlp: MlpCov,
-    viewmat: jax.Array,      # (4, 4) world->cam (differentiable)
-    exposure: jax.Array,     # (3, 4)
-    K: jax.Array,            # (3, 3) at render resolution
-    width: int,
-    height: int,
-    bg: jax.Array,           # (3,)
-    sh_degree: int,
-    eps2d: float,
+    viewmat: jax.Array,      # (4, 4)
     cluster_capacity: int,
 ):
-    """Reference h3dgsv3.render (:617-700) + render_from_id exposure.
-
-    Returns dict with render (3,H,W) clamped, invdepth (1,H,W), alpha,
-    visibility (C,), global_visibility (Cg,), scale_eff (C,3).
-    """
-    # dmax LOD culling + alpha fade
+    """dmax LOD culling/fade + mlp_cov modulation (h3dgsv3.py:633-662) —
+    the view-dependent effective splat parameters, shared by the single-
+    chip render and the row-strip sharded render (identical semantics is
+    what makes the sharded eval path report the same PSNR)."""
     R = viewmat[:3, :3]
     t = viewmat[:3, 3]
     cam_centre = -R.T @ t
@@ -132,8 +123,32 @@ def render_core(
     rot_eff = rot_mod * jax.lax.rsqrt(
         jnp.sum(rot_mod * rot_mod, axis=-1, keepdims=True) + 1e-20
     )
-
     colors = jnp.concatenate([slab.f_dc, slab.f_rest], axis=1)  # (C, K, 3)
+    return selection, opac, scale_eff, rot_eff, colors
+
+
+def render_core(
+    slab: G.GaussianSlab,
+    gfeat: jax.Array,        # (Cg, Dg)
+    mlp: MlpCov,
+    viewmat: jax.Array,      # (4, 4) world->cam (differentiable)
+    exposure: jax.Array,     # (3, 4)
+    K: jax.Array,            # (3, 3) at render resolution
+    width: int,
+    height: int,
+    bg: jax.Array,           # (3,)
+    sh_degree: int,
+    eps2d: float,
+    cluster_capacity: int,
+):
+    """Reference h3dgsv3.render (:617-700) + render_from_id exposure.
+
+    Returns dict with render (3,H,W) clamped, invdepth (1,H,W), alpha,
+    visibility (C,), global_visibility (Cg,), scale_eff (C,3).
+    """
+    selection, opac, scale_eff, rot_eff, colors = effective_params(
+        slab, gfeat, mlp, viewmat, cluster_capacity
+    )
     render, alpha, meta = splat_api.rasterization(
         slab.xyz, rot_eff, scale_eff, opac, colors, viewmat, K,
         width, height, sh_degree=sh_degree, render_mode="RGB+D",
@@ -625,6 +640,7 @@ class SceneModel:
         self._mesh = None                # multi-chip dp mesh (enable_mesh)
         self._dp_steps: dict = {}        # (w, h) -> jitted dp train step
         self._sharded_render = None
+        self._sharded_core_renders: dict = {}  # (w, h) -> full-parity render
 
     # -- multi-chip ---------------------------------------------------------
     def enable_mesh(self, mesh):
@@ -636,6 +652,7 @@ class SceneModel:
         self._mesh = mesh
         self._dp_steps = {}
         self._sharded_render = None
+        self._sharded_core_renders = {}
 
     def render_sharded(self, keyframe_id: int, bg=None):
         """Full-resolution render sharded by image row strips over the mesh
@@ -797,6 +814,28 @@ class SceneModel:
         w, h = self.width // lvl_scale, self.height // lvl_scale
         viewmat = KF.get_Rt(self.pool, keyframe_id)
         expo = self.pool.exposure[keyframe_id]
+        if (
+            self._mesh is not None
+            and h % (16 * self._mesh.size) == 0
+        ):
+            # eval/save full-frame renders ride the row-strip sharded path
+            # when a mesh is enabled (full render_core parity —
+            # parallel/splats.make_row_sharded_render_core)
+            key = (w, h)
+            fn = self._sharded_core_renders.get(key)
+            if fn is None:
+                from artdeco_tpu.parallel.splats import (
+                    make_row_sharded_render_core,
+                )
+
+                fn = make_row_sharded_render_core(
+                    self._mesh, w, h, self.cfg.sh_degree,
+                    self.cfg.low_pass_filter_eps, self.cfg.cluster_capacity,
+                    axis="dp",
+                )
+                self._sharded_core_renders[key] = fn
+            return fn(self.slab, self.gfeat.val, self.mlp, viewmat, expo,
+                      self._K_at_lvl(pyr_lvl), jnp.asarray(bg))
         return render_core_jit(
             self.slab, self.gfeat.val, self.mlp, viewmat, expo,
             self._K_at_lvl(pyr_lvl), w, h, jnp.asarray(bg),

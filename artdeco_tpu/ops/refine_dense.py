@@ -213,8 +213,20 @@ def refine_matches_dense_single(
 
         active = ~claimed
         # compact the first `chunk` active ids without a sort: prefix
-        # positions via cumsum, scatter ids into a fixed-size slot array
-        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+        # positions via cumsum, scatter ids into a fixed-size slot array.
+        # Two-phase priority: out-of-view pixels clamp to the border ring
+        # (iter_proj clips coords to [1, w-2]) and collide there by the
+        # thousands; those losers are occlusion-filtered invalid downstream,
+        # so INTERIOR losers take budget slots first and border pileups
+        # only fill what remains (a plain id-order compact let top-row
+        # border pixels exhaust the budget before any interior loser).
+        border = (u0 <= 1) | (u0 >= w - 2) | (v0 <= 1) | (v0 >= h - 2)
+        act_int = active & ~border
+        act_bor = active & border
+        pos_int = jnp.cumsum(act_int.astype(jnp.int32)) - 1
+        n_int = jnp.sum(act_int.astype(jnp.int32))
+        pos_bor = jnp.cumsum(act_bor.astype(jnp.int32)) - 1 + n_int
+        pos = jnp.where(act_int, pos_int, pos_bor)
         tgt = jnp.where(active & (pos < chunk), pos, chunk)
         idxs = jnp.full((chunk,), N, jnp.int32).at[tgt].min(ids, mode="drop")
         valid = idxs < N

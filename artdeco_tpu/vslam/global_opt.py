@@ -499,7 +499,10 @@ class FactorGraph:
         # background-compiled (P, E) solver variants (see _prewarm_solver)
         self._warmed: set = set()
         self.timers: dict = {}   # substage wall-clock [sum_s, n]
-        self._prewarm_solver(32, 64)
+        # warm the first few ladder rungs up front: a rung compiled on
+        # demand lands ~10 s of stall on the keyframe that crosses it
+        for rung in ((32, 64), (32, 128), (64, 128), (64, 256)):
+            self._prewarm_solver(*rung)
 
     def _t(self, key: str, t0: float):
         import time as _time
@@ -534,7 +537,11 @@ class FactorGraph:
         if need <= self._dev_ecap:
             return
         n = self.h * self.w
-        newcap = self._pow2(need, lo=max(64, self._dev_ecap * 2))
+        # floor 256 directed edges (~680 MB at 512x288): growth re-allocates
+        # the mirrors and recompiles every consumer at the new capE — BENCH
+        # r4 showed 10 s keyframe stalls at each pow2 step; a generous floor
+        # removes all growth below ~60 keyframes
+        newcap = self._pow2(need, lo=max(256, self._dev_ecap * 2))
         old = self._dev_edges
         self._dev_edges = {
             "idx": jnp.zeros((newcap, n), jnp.int32),
@@ -601,7 +608,7 @@ class FactorGraph:
             self._kf_slot.setdefault(int(k), len(self._kf_slot))
         if len(self._kf_slot) > self._dev_pcap:
             newcap = self._pow2(len(self._kf_slot),
-                                lo=max(16, self._dev_pcap * 2))
+                                lo=max(64, self._dev_pcap * 2))
             X = jnp.zeros((newcap, n, 3), jnp.float32)
             C = jnp.zeros((newcap, n, 1), jnp.float32)
             if self._dev_X is not None:

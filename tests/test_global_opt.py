@@ -325,3 +325,103 @@ def test_factor_graph_capacity_growth():
         np.asarray(fg._dev_edges["idx"][:80]), np.stack(idx_rows))
     np.testing.assert_allclose(
         np.asarray(fg._dev_edges["q"][:80]), np.stack(q_rows), rtol=1e-6)
+
+
+def test_point_stride_parity_under_noise():
+    """VERDICT r3 task 5: the production default ``point_stride: 4`` must be
+    justified against the reference's full-resolution residuals
+    (gn_kernels.cu:1231-1637) on NOISY data, not just the exact oracle.
+
+    Same noisy measurements, same perturbed inits, solved at stride 1 and
+    stride 4: the pose-error delta must be a small fraction of the error
+    itself (subsampling a ~10^4-fold over-determined 7-DoF problem adds
+    negligible estimator variance)."""
+    h, w, f = 144, 256, 200.0
+    Kn = np.asarray([[f, 0, w / 2], [0, f, h / 2], [0, 0, 1]], np.float32)
+    hw = h * w
+    rng = np.random.RandomState(7)
+
+    def pm(T_wc, z_plane=2.0):
+        R = np.asarray(lie.quat_to_matrix(jnp.asarray(T_wc[3:7])))
+        s, t = T_wc[7], T_wc[0:3]
+        u, v = np.meshgrid(np.arange(w), np.arange(h))
+        rays = np.stack([(u - w / 2) / f, (v - h / 2) / f,
+                         np.ones_like(u)], -1)
+        d_w = s * (rays @ R.T)
+        sc = (z_plane - t[2]) / d_w[..., 2]
+        return (rays * sc[..., None]).reshape(-1, 3).astype(np.float32)
+
+    def proj(T_wc, world):
+        T_cw = np.asarray(lie.sim3_inv(jnp.asarray(T_wc)))
+        Xc = np.asarray(lie.sim3_act(jnp.asarray(T_cw), jnp.asarray(world)))
+        return (f * Xc[:, 0] / Xc[:, 2] + w / 2,
+                f * Xc[:, 1] / Xc[:, 2] + h / 2)
+
+    xis = [
+        np.zeros(7),
+        np.asarray([0.05, -0.02, 0.03, 0.02, -0.01, 0.015, 0.01]),
+        np.asarray([-0.04, 0.03, 0.06, -0.015, 0.02, -0.01, -0.02]),
+        np.asarray([0.08, 0.01, -0.04, 0.01, 0.02, 0.01, 0.015]),
+    ]
+    T_gt = np.stack([np.asarray(lie.sim3_exp(jnp.asarray(x, jnp.float32)))
+                     for x in xis])
+    n_p = len(xis)
+    X = np.stack([pm(T) for T in T_gt])
+    # realistic measurement noise: 1% multiplicative depth + 2% outliers
+    X = X * (1.0 + 0.01 * rng.randn(n_p, hw, 1)).astype(np.float32)
+    out_mask = rng.rand(n_p, hw) < 0.02
+    X[..., 2] = np.where(out_mask, X[..., 2] * (1 + rng.rand(n_p, hw)),
+                         X[..., 2])
+    C = np.full((n_p, hw, 1), 5.0, np.float32)
+
+    edges = [(i, j) for i in range(n_p) for j in range(n_p)
+             if abs(i - j) == 1]
+    E = len(edges)
+    idx = np.zeros((E, hw), np.int32)
+    vm = np.zeros((E, hw), bool)
+    for e, (i, j) in enumerate(edges):
+        world = np.asarray(lie.sim3_act(jnp.asarray(T_gt[j]),
+                                        jnp.asarray(X[j])))
+        u, v = proj(T_gt[i], world)
+        ui, vi = np.round(u).astype(np.int64), np.round(v).astype(np.int64)
+        ok = (ui >= 1) & (ui < w - 1) & (vi >= 1) & (vi < h - 1)
+        idx[e] = np.clip(vi * w + ui, 0, hw - 1)
+        vm[e] = ok
+    Q = np.full((E, hw, 1), 4.0, np.float32)
+
+    T0 = T_gt.copy()
+    for i in range(1, n_p):
+        d = (0.1 * rng.randn(7)).astype(np.float32)
+        T0[i] = np.asarray(lie.sim3_mul(lie.sim3_exp(jnp.asarray(d)),
+                                        jnp.asarray(T_gt[i])))
+    used = np.ones(n_p, bool)
+
+    def solve(stride):
+        T_out = gauss_newton_calib(
+            jnp.asarray(T0), jnp.asarray(X), jnp.asarray(C),
+            jnp.asarray(Kn), jnp.asarray([e[0] for e in edges], jnp.int32),
+            jnp.asarray([e[1] for e in edges], jnp.int32),
+            jnp.asarray(idx), jnp.asarray(vm), jnp.asarray(Q),
+            jnp.ones(E, bool), jnp.asarray(used), h, w,
+            max_iter=10, delta_thresh=1e-8, sigma_pixel=1.0,
+            sigma_depth=10.0, Q_thresh=1.5, chunk=E, point_stride=stride,
+        )
+        errs = [float(np.linalg.norm(np.asarray(lie.sim3_log(lie.sim3_mul(
+            lie.sim3_inv(jnp.asarray(np.asarray(T_out)[i])),
+            jnp.asarray(T_gt[i]))))))
+            for i in range(1, n_p)]
+        return np.asarray(errs)
+
+    e1 = solve(1)
+    e4 = solve(4)
+    init_err = np.mean([float(np.linalg.norm(np.asarray(lie.sim3_log(
+        lie.sim3_mul(lie.sim3_inv(jnp.asarray(T0[i])),
+                     jnp.asarray(T_gt[i]))))))
+        for i in range(1, n_p)])
+    # both must actually solve the problem...
+    assert e1.mean() < 0.2 * init_err, (e1, init_err)
+    assert e4.mean() < 0.2 * init_err, (e4, init_err)
+    # ...and the stride-4 estimate must match stride-1 to a small fraction
+    # of the residual error (the documented justification for the default)
+    delta = abs(e4.mean() - e1.mean())
+    assert delta < 0.1 * max(e1.mean(), 1e-6) + 1e-4, (e1, e4)
