@@ -23,7 +23,14 @@ def get_args(argv=None):
     p.add_argument("--save_lidar_ply", action="store_true", default=False)
     p.add_argument("-d", "--dataset_name", type=str, default="selfCaptured")
     p.add_argument("--save_to_data_for_gsplat", action="store_true")
-    p.add_argument("--rigid_transform_gaussians", action="store_true")
+    # reference args.py:39 defines this store_true but never consumes it (the
+    # main loop always rigid-transforms, run_system.py:194-227).  Here the
+    # default matches the reference's actual behavior (ON) and the negative
+    # flag gives the A/B debug scripts a real control.
+    p.add_argument("--rigid_transform_gaussians", action="store_true",
+                   default=True)
+    p.add_argument("--no_rigid_transform_gaussians", action="store_false",
+                   dest="rigid_transform_gaussians")
     p.add_argument("--base_model", type=str, default="h3dgs")
     # learning rates
     p.add_argument("--lr_poses", type=float, default=1e-4)

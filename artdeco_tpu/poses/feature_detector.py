@@ -90,18 +90,34 @@ def detect_keypoints(
 
 
 class FeatureDetector:
-    """Host wrapper (feature_detector.py surface)."""
+    """Host wrapper (feature_detector.py surface).
 
-    def __init__(self, num_kpts: int = 1024, describe_fn=None):
+    With ``xfeat_checkpoint`` (or $ARTDECO_XFEAT_NPZ) the learned XFeat
+    detector (``models/xfeat.py`` flax port of the reference's traced hub
+    model) produces the keypoints/descriptors; otherwise the classical
+    Shi-Tomasi fallback runs — same (kpts, scores, desc) interface."""
+
+    def __init__(self, num_kpts: int = 1024, describe_fn=None,
+                 xfeat_checkpoint: str = ""):
+        import os
+
         self.num_kpts = num_kpts
+        self._xfeat = None
+        xfeat_checkpoint = xfeat_checkpoint or os.environ.get(
+            "ARTDECO_XFEAT_NPZ", "")
+        if describe_fn is None and xfeat_checkpoint:
+            from artdeco_tpu.models.xfeat import make_detector
+
+            self._xfeat = make_detector(xfeat_checkpoint, top_k=num_kpts)
         self.describe_fn = describe_fn or (
             lambda g: detect_keypoints(g, num_kpts=self.num_kpts)
         )
 
     def __call__(self, img_chw) -> DescribedKeypoints:
-        import numpy as np
-
         img = jnp.asarray(img_chw)
+        if self._xfeat is not None:
+            kpts, desc, scores = self._xfeat(img)
+            return DescribedKeypoints(kpts=kpts, scores=scores, desc=desc)
         gray = img.mean(axis=0)
         if float(gray.min()) < -0.01:  # [-1, 1] -> [0, 1]
             gray = (gray + 1.0) / 2.0

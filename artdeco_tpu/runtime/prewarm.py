@@ -20,6 +20,7 @@ statics — the exact quantities ``System.__init__`` already holds, so
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from functools import partial
@@ -52,12 +53,63 @@ def _compile_one(name: str, lowerable, verbose: bool):
                   file=sys.stderr, flush=True)
 
 
-def prewarm_system(system, verbose: bool = True, sync: bool = False,
-                   threads: int = 4):
-    """Start compiling every hot jitted stage for ``system``'s shapes.
+# ---------------------------------------------------------------------------
+# Global serialized compile queue.
+#
+# XLA compilation is CPU-bound; the bench host has ONE core.  Running the
+# prewarm set on a 4-thread pool plus the factor-graph's own per-rung threads
+# meant 8+ concurrent compiles contending for that core: each slowed ~Nx and
+# the main thread's own first-dispatch compiles were starved (measured: a
+# cascade compile that takes ~50 s alone took 506 s under contention).  All
+# background compiles therefore funnel through ONE worker, in submission
+# order — prewarm_system submits in first-use order so the stream's earliest
+# needs land first.
+# ---------------------------------------------------------------------------
 
-    Returns the worker threads (daemons); pass ``sync=True`` to block until
-    all compiles land (tests / cache-priming runs).
+_queue: list = []
+_queue_lock = threading.Lock()
+_queue_cv = threading.Condition(_queue_lock)
+_worker: threading.Thread | None = None
+
+
+def _worker_loop():
+    while True:
+        with _queue_cv:
+            while not _queue:
+                _queue_cv.wait()
+            name, low, verbose, done = _queue.pop(0)
+        try:
+            _compile_one(name, low, verbose)
+        finally:
+            done.set()
+
+
+def submit_compile(name: str, lowerable, verbose: bool = True,
+                   front: bool = False) -> threading.Event:
+    """Enqueue one background compile on the shared serialized worker.
+
+    Returns an Event set when the compile finishes (or fails)."""
+    global _worker
+    done = threading.Event()
+    with _queue_cv:
+        item = (name, lowerable, verbose, done)
+        if front:
+            _queue.insert(0, item)
+        else:
+            _queue.append(item)
+        if _worker is None or not _worker.is_alive():
+            _worker = threading.Thread(target=_worker_loop, daemon=True)
+            _worker.start()
+        _queue_cv.notify()
+    return done
+
+
+def prewarm_system(system, verbose: bool = True, sync: bool = False):
+    """Enqueue every hot jitted stage for ``system``'s shapes on the shared
+    serialized compile worker, in first-use order.
+
+    Returns the completion Events; pass ``sync=True`` to block until all
+    compiles land (tests / cache-priming runs).
     """
     import jax
     import jax.numpy as jnp
@@ -87,15 +139,19 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False,
         dilation_max=int(mcfg_match["dilation_max"]),
         refine_dtype=mcfg_match.get("refine_dtype", "bfloat16"),
     )
-    for b in (1, 2, 4, 8):
-        def low(b=b):
+    def low_cascade(b):
+        def low():
             return M._match_cascade.lower(
                 sds((b, h, w, 3), f32), sds((b, h, w, 3), f32),
                 sds((b, h, w, d), f32), sds((b, h, w, d), f32),
                 sds((b, hw), jnp.int32) if b == 1 else None,
                 **cascade_statics,
             )
-        jobs.append((f"match_cascade[b={b}]", low))
+        return low
+
+    # first-use order: the tracker's b=1 cascade runs at frame 1, the first
+    # keyframe's symmetric match at b=2; the rare wide buckets go last
+    jobs.append(("match_cascade[b=1]", low_cascade(1)))
 
     # ---- tracker fused step ----------------------------------------------
     tcfg = system.frontend.tracker.cfg
@@ -114,18 +170,22 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False,
             covariance_filter=system.frontend.tracker.covariance_filter,
         )
     jobs.append(("track_step", low_track))
+    jobs.append(("match_cascade[b=2]", low_cascade(2)))
 
     # ---- factor-graph edge post (buckets) ----------------------------------
     q_conf = float(system.config["local_opt"]["Q_conf"])
-    for b in (1, 2, 4):
-        def low_ep(b=b):
+
+    def low_edge_post(b):
+        def low():
             return FactorGraph._edge_post.lower(
                 sds((b, hw), jnp.int32), sds((b, hw), jnp.int32),
                 sds((b, hw, 1), jnp.bool_), sds((b, hw, 1), jnp.bool_),
                 sds((b, hw, 1), f32), sds((b, hw, 1), f32),
                 sds((b, hw, 1), f32), sds((b, hw, 1), f32), q_conf=q_conf,
             )
-        jobs.append((f"edge_post[b={b}]", low_ep))
+        return low
+
+    jobs.append(("edge_post[b=1]", low_edge_post(1)))
 
     # ---- mapper: burst (both schedules), densify, insert, render ----------
     sm = system.scene_model
@@ -139,22 +199,6 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False,
     mlp_s = _sds_like(sm.mlp)
     mlp_opt_s = _sds_like(sm.mlp_opt)
     pool_s = _sds_like(sm.pool)
-    n_key = int(getattr(system.args, "num_key_iterations", 30))
-    n_common = int(getattr(system.args, "num_common_iterations", 0))
-    for n_it, imp in {(n_key, True), (n_common, False)}:
-        if n_it <= 0:
-            continue
-
-        def low_burst(n_it=n_it, imp=imp):
-            return SM.optimization_burst_core.lower(
-                slab_s, opt_s, gfeat_s, mlp_s, mlp_opt_s, sds((), f32),
-                pool_s, sds((n_it,), jnp.int32),
-                sds((n_it, 3, hl, wl), f32), sds((n_it, 1, hl, wl), f32),
-                sds((n_it,), jnp.bool_), sds((n_it, 3), f32),
-                sds((3, 3), f32), wl, hl, lvl, imp, mcfg,
-            )
-        jobs.append((f"mapper_burst[n={n_it},imp={imp}]", low_burst))
-
     def low_render():
         return SM.render_core_jit.lower(
             slab_s, _sds_like(sm.gfeat.val), mlp_s, sds((4, 4), f32),
@@ -201,6 +245,23 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False,
         )
     jobs.append(("densify_prune", low_prune))
 
+    # ---- mapper burst (after the densify/insert chain that precedes it) ----
+    n_key = int(getattr(system.args, "num_key_iterations", 30))
+    n_common = int(getattr(system.args, "num_common_iterations", 0))
+    for n_it, imp in {(n_key, True), (n_common, False)}:
+        if n_it <= 0:
+            continue
+
+        def low_burst(n_it=n_it, imp=imp):
+            return SM.optimization_burst_core.lower(
+                slab_s, opt_s, gfeat_s, mlp_s, mlp_opt_s, sds((), f32),
+                pool_s, sds((n_it,), jnp.int32),
+                sds((n_it, 3, hl, wl), f32), sds((n_it, 1, hl, wl), f32),
+                sds((n_it,), jnp.bool_), sds((n_it, 3), f32),
+                sds((3, 3), f32), wl, hl, lvl, imp, mcfg,
+            )
+        jobs.append((f"mapper_burst[n={n_it},imp={imp}]", low_burst))
+
     def low_weed():
         return SM.weed_core.lower(
             slab_s, sds((mcfg.keyframe_capacity, 3), f32),
@@ -209,23 +270,22 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False,
         )
     jobs.append(("weed", low_weed))
 
-    # ---- run on a small thread pool ----------------------------------------
-    lock = threading.Lock()
-    queue = list(jobs)
+    # ---- rare wide buckets last --------------------------------------------
+    for b in (4, 8):
+        jobs.append((f"match_cascade[b={b}]", low_cascade(b)))
+    for b in (2, 4):
+        jobs.append((f"edge_post[b={b}]", low_edge_post(b)))
 
-    def run():
-        while True:
-            with lock:
-                if not queue:
-                    return
-                name, low = queue.pop(0)
-            _compile_one(name, low, verbose)
-
-    ts = [threading.Thread(target=run, daemon=True)
-          for _ in range(max(1, threads))]
-    for t in ts:
-        t.start()
+    # ---- submit to the shared serialized worker, in first-use order --------
+    # The factor graph enqueued its GN solver rungs when the Backend was
+    # constructed (before this call); the per-frame essentials must still
+    # compile first, so the head of the job list is front-inserted ahead of
+    # them (reverse order keeps head order).
+    head, rest = jobs[:4], jobs[4:]
+    events = [submit_compile(name, low, verbose, front=True)
+              for name, low in reversed(head)]
+    events += [submit_compile(name, low, verbose) for name, low in rest]
     if sync:
-        for t in ts:
-            t.join()
-    return ts
+        for e in events:
+            e.wait()
+    return events

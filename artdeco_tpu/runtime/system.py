@@ -364,9 +364,10 @@ class System:
             jnp.asarray(is_kf), jnp.asarray(mask),
         )
         self.scene_model.set_keyframe_poses_masked(new_Rt, mask)
-        self.scene_model.rigid_transform_gs(
-            np.asarray(old_c2ws[:n]), np.asarray(new_c2ws[:n])
-        )
+        if getattr(self.args, "rigid_transform_gaussians", True):
+            self.scene_model.rigid_transform_gs(
+                np.asarray(old_c2ws[:n]), np.asarray(new_c2ws[:n])
+            )
 
     # -- main loop ----------------------------------------------------------
     def run(self, max_frames: Optional[int] = None, progress: bool = True,

@@ -774,49 +774,50 @@ class FactorGraph:
         )
 
     def _prewarm_solver(self, P: int, E: int):
-        """AOT-compile the (P, E) solver variant on a background thread.
+        """AOT-compile the (P, E) solver variant on the shared serialized
+        compile worker (runtime/prewarm.py).
 
         pow2 capacity growth otherwise re-jits the GN solver on the per-frame
         critical path — BENCH r02 showed 8-10 s frame stalls when the edge or
         pose pad stepped.  jit caches by abstract shape, so lowering with
-        ShapeDtypeStructs off-thread makes the step-up hit a warm cache."""
+        ShapeDtypeStructs off-thread makes the step-up hit a warm cache.
+        Compiles are serialized globally: the bench host has one CPU core,
+        and per-rung threads contending with the prewarm set slowed every
+        compile ~10x (see prewarm.submit_compile)."""
         key = (P, E)
         if key in self._warmed:
             return
         self._warmed.add(key)
 
-        import threading
+        def low():
+            import jax
+            import jax.numpy as jnp
 
-        def go():
-            try:
-                import jax
-                import jax.numpy as jnp
+            sds = jax.ShapeDtypeStruct
+            n = self.h * self.w
+            solver = (
+                gauss_newton_calib if P <= self.DENSE_POSE_LIMIT
+                else gauss_newton_calib_sparse
+            )
+            return solver.lower(
+                sds((P, 8), jnp.float32),
+                sds((P, n, 3), jnp.float32),
+                sds((P, n, 1), jnp.float32),
+                sds((3, 3), jnp.float32),
+                sds((E,), jnp.int32),
+                sds((E,), jnp.int32),
+                sds((E, n), jnp.int32),
+                sds((E, n), jnp.bool_),
+                sds((E, n, 1), jnp.float32),
+                sds((E,), jnp.bool_),
+                sds((P,), jnp.bool_),
+                self.h, self.w,
+                **self._solver_statics(),
+            )
 
-                sds = jax.ShapeDtypeStruct
-                n = self.h * self.w
-                solver = (
-                    gauss_newton_calib if P <= self.DENSE_POSE_LIMIT
-                    else gauss_newton_calib_sparse
-                )
-                solver.lower(
-                    sds((P, 8), jnp.float32),
-                    sds((P, n, 3), jnp.float32),
-                    sds((P, n, 1), jnp.float32),
-                    sds((3, 3), jnp.float32),
-                    sds((E,), jnp.int32),
-                    sds((E,), jnp.int32),
-                    sds((E, n), jnp.int32),
-                    sds((E, n), jnp.bool_),
-                    sds((E, n, 1), jnp.float32),
-                    sds((E,), jnp.bool_),
-                    sds((P,), jnp.bool_),
-                    self.h, self.w,
-                    **self._solver_statics(),
-                ).compile()
-            except Exception:  # pragma: no cover - prewarm is best-effort
-                pass
+        from artdeco_tpu.runtime.prewarm import submit_compile
 
-        threading.Thread(target=go, daemon=True).start()
+        submit_compile(f"gn_solver[P={P},E={E}]", low)
 
     # dense assembly is O(P^2) memory (822 MB at P=2048); switch to the
     # block-sparse PCG solver above this many poses

@@ -77,6 +77,8 @@ def detect_kind(path: str, sd: dict) -> str:
         return "dav2"
     if any(k.startswith("lin0.") for k in keys) or "lpips" in name:
         return "lpips"
+    if has("net.block1.") or has("block_fusion.") or "xfeat" in name:
+        return "xfeat"
     return "unknown"
 
 
@@ -138,6 +140,12 @@ def convert_one(kind: str, path: str, out_dir: str, cfgs: dict = None) -> dict:
         convert_lpips_torch(sd)
         out = os.path.join(out_dir, "lpips_alex.npz")
         np.savez(out, **sd)
+    elif kind == "xfeat":
+        from artdeco_tpu.models.xfeat import convert_xfeat_state_dict
+
+        params = convert_xfeat_state_dict(_load_raw(path))
+        out = os.path.join(out_dir, "xfeat.npz")
+        save_pytree_npz(out, params)
     else:
         raise ValueError(f"unknown checkpoint kind for {path}")
     entry["output"] = out
