@@ -568,6 +568,13 @@ def weed_core(slab: G.GaussianSlab, cam_centres: jax.Array,
               used: jax.Array, visible_threshold: float, chunk: int = 64):
     """Visibility-fraction weeding (h3dgsv3.weed_out_gaussians :942-953)."""
     n_kf = jnp.maximum(jnp.sum(used), 1)
+    # pad to a chunk multiple: a fixed chunk of 64 dropped the tail
+    # keyframes at non-multiple capacities and failed to trace below 64
+    chunk = min(chunk, cam_centres.shape[0])
+    rem = (-cam_centres.shape[0]) % chunk
+    if rem:
+        cam_centres = jnp.pad(cam_centres, ((0, rem), (0, 0)))
+        used = jnp.pad(used, (0, rem))
     kf_count = cam_centres.shape[0]
 
     def body(carry, i):

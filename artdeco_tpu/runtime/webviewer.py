@@ -30,11 +30,18 @@ class WebViewer:
 
     # -- render one client request -----------------------------------------
     def _render_reply(self, data: dict) -> bytes:
+        """Render modes mirror the reference GaussianViewer's
+        ["Splats", "Depth", "Ellipsoids"] picker (gaussianviewer.py:96):
+        depth is the normalized inverse-depth channel; ellipsoid mode
+        renders opaque DC-colored gaussians (extent view) — the GL ellipsoid
+        widget's role without a GL context."""
+        import dataclasses as _dc
+
         import cv2
         import jax.numpy as jnp
 
         from artdeco_tpu.mapper import keyframe as KFmod
-        from artdeco_tpu.mapper.scene_model import render_core
+        from artdeco_tpu.mapper.scene_model import render_core_jit
 
         sm = self.scene_model
         res_x = max(int(data["res_x"]) // 2, 16)
@@ -50,13 +57,27 @@ class WebViewer:
             pose[:3, 2] *= -1
             viewmat = jnp.asarray(np.linalg.inv(pose))
 
-        pkg = render_core(
-            sm.slab, sm.gfeat.val, sm.mlp, viewmat, jnp.eye(3, 4), K,
+        mode = data.get("mode", "splat")
+        slab = sm.slab
+        if mode == "ellipsoid":
+            slab = _dc.replace(
+                slab,
+                opacity=jnp.full_like(slab.opacity, 6.0),  # sigmoid -> ~1
+                f_rest=jnp.zeros_like(slab.f_rest),        # flat DC color
+            )
+        pkg = render_core_jit(
+            slab, sm.gfeat.val, sm.mlp, viewmat, jnp.eye(3, 4), K,
             res_x, res_y, jnp.zeros(3), sm.cfg.sh_degree,
             sm.cfg.low_pass_filter_eps, sm.cfg.cluster_capacity,
         )
-        img = np.asarray(jnp.clip(pkg["render"], 0, 1))
-        arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+        if mode == "depth":
+            inv = np.asarray(pkg["invdepth"][0])
+            hi = max(float(np.percentile(inv, 99.0)), 1e-6)
+            img = np.clip(inv / hi, 0.0, 1.0)
+            arr = (np.stack([img] * 3, axis=-1) * 255).astype(np.uint8)
+        else:
+            img = np.asarray(jnp.clip(pkg["render"], 0, 1))
+            arr = (img.transpose(1, 2, 0) * 255).astype(np.uint8)
         ok, buf = cv2.imencode(
             ".jpg", cv2.cvtColor(arr, cv2.COLOR_RGB2BGR),
             [cv2.IMWRITE_JPEG_QUALITY, 50],
@@ -83,6 +104,7 @@ class WebViewer:
                 "max_pos": centres.max(0).tolist(),
                 "min_pos": centres.min(0).tolist(),
                 "mean_pose": mean_pose.flatten().tolist(),
+                "n_keyframes": n,
             }
         except Exception:
             header = {
