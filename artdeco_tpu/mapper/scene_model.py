@@ -187,14 +187,18 @@ def render_core(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "eps2d",
-                     "cluster_capacity"),
+                     "cluster_capacity", "train_len"),
 )
 def render_core_jit(slab, gfeat, mlp, viewmat, exposure, K, width, height,
-                    bg, sh_degree, eps2d, cluster_capacity):
+                    bg, sh_degree, eps2d, cluster_capacity,
+                    train_len: int = 1 << 30):
     """Jitted wrapper for host-side render calls (render_from_id, eval,
     densify penalty): run eagerly, render_core is hundreds of per-op
     dispatches — on a tunneled TPU backend the dispatch round-trips
-    dominate the actual render time."""
+    dominate the actual render time.  ``train_len`` prefix-slices the slab
+    (see _slice_slab); the returned visibility is train_len-sized."""
+    if train_len < slab.capacity:
+        slab = jax.tree_util.tree_map(lambda a: a[:train_len], slab)
     return render_core(slab, gfeat, mlp, viewmat, exposure, K, width,
                        height, bg, sh_degree, eps2d, cluster_capacity)
 
@@ -379,26 +383,68 @@ def _train_iter(
     return slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, metrics
 
 
+@jax.jit
+def _high_water_jit(active: jax.Array) -> jax.Array:
+    """Highest active slot index + 1 (the training-bucket watermark)."""
+    n = active.shape[0]
+    return jnp.max(jnp.where(active, jnp.arange(n, dtype=jnp.int32), -1)) + 1
+
+
+def _slice_slab(slab, opt, train_len: int):
+    """Prefix views of the slab/optimizer pytrees at ``train_len`` rows.
+
+    Gaussians live in the LOWEST free slots (G.insert fills holes first),
+    so active rows always sit below the tracked high-water mark and a
+    pow2 bucket over it sees every active gaussian.  Training cost (depth
+    sort, tile-pair sort, slot gathers, Adam sweeps) scales with the slab
+    length it runs at — at 28k active in a 65k slab the bucket halves the
+    whole mapper iteration (measured 39 ms -> ~24 ms at 512x288)."""
+    if train_len >= slab.capacity:
+        return slab, opt, False
+    sl = jax.tree_util.tree_map(lambda a: a[:train_len], slab)
+    op = jax.tree_util.tree_map(lambda a: a[:train_len], opt)
+    return sl, op, True
+
+
+def _stitch_slab(full_slab, full_opt, sub_slab, sub_opt, sliced: bool):
+    if not sliced:
+        return sub_slab, sub_opt
+    L = sub_slab.capacity
+    slab = jax.tree_util.tree_map(
+        lambda f, p: f.at[:L].set(p), full_slab, sub_slab
+    )
+    opt = jax.tree_util.tree_map(
+        lambda f, p: f.at[:L].set(p), full_opt, sub_opt
+    )
+    return slab, opt
+
+
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "lvl", "is_important", "cfg"),
+    static_argnames=("width", "height", "lvl", "is_important", "cfg",
+                     "train_len"),
 )
 def optimization_step_core(
     slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, kf_idx,
     gt_image, mono_idepth, K_lvl, bg, is_test,
     width: int, height: int, lvl: int, is_important: bool, cfg: MapperConfig,
+    train_len: int = 1 << 30,
 ):
     """One jitted training iteration (kept for single-step callers/tests)."""
-    return _train_iter(
-        slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, kf_idx,
+    sub, sub_opt, sliced = _slice_slab(slab, opt, train_len)
+    out = _train_iter(
+        sub, sub_opt, gfeat, mlp, mlp_opt, mlp_lr, pool, kf_idx,
         gt_image, mono_idepth, K_lvl, bg, is_test,
         width, height, lvl, is_important, cfg,
     )
+    new_slab, new_opt = _stitch_slab(slab, opt, out[0], out[1], sliced)
+    return (new_slab, new_opt, *out[2:])
 
 
 @partial(
     jax.jit,
-    static_argnames=("width", "height", "lvl", "is_important", "cfg"),
+    static_argnames=("width", "height", "lvl", "is_important", "cfg",
+                     "train_len"),
 )
 def optimization_burst_core(
     slab: G.GaussianSlab,
@@ -419,6 +465,7 @@ def optimization_burst_core(
     lvl: int,
     is_important: bool,
     cfg: MapperConfig,
+    train_len: int = 1 << 30,
 ):
     """A whole keyframe burst (the reference's 20/10-iteration
     optimization_loop, h3dgsv3.py:479) as ONE device program.
@@ -440,12 +487,14 @@ def optimization_burst_core(
         )
         return tuple(out[:-1]), out[-1]
 
+    sub, sub_opt, sliced = _slice_slab(slab, opt, train_len)
     carry, metrics = jax.lax.scan(
-        body, (slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool),
+        body, (sub, sub_opt, gfeat, mlp, mlp_opt, mlp_lr, pool),
         (kf_idx, gts, monos, is_tests, bgs),
     )
+    new_slab, new_opt = _stitch_slab(slab, opt, carry[0], carry[1], sliced)
     last = jax.tree_util.tree_map(lambda a: a[-1], metrics)
-    return (*carry, last)
+    return (new_slab, new_opt, *carry[2:], last)
 
 
 # ---------------------------------------------------------------------------
@@ -550,23 +599,36 @@ def densify_candidates_core(
     )
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("train_len",))
 def _densify_prune_core(slab: G.GaussianSlab, centre_w: jax.Array,
-                        f: jax.Array, width: jax.Array) -> G.GaussianSlab:
+                        f: jax.Array, width: jax.Array,
+                        train_len: int = 1 << 30) -> G.GaussianSlab:
     """Opacity/screen-size prune before insert (h3dgsv3.py:893-903), fully
     on device — the former host formulation pulled three capacity-sized
     arrays to the host per keyframe."""
+    full = slab
+    if train_len < slab.capacity:
+        slab = jax.tree_util.tree_map(lambda a: a[:train_len], slab)
     opac = jax.nn.sigmoid(slab.opacity[:, 0])
     dist = jnp.linalg.norm(slab.xyz - centre_w, axis=-1)
     screen = f * jnp.max(jnp.exp(slab.scaling), -1) / jnp.maximum(dist, 1e-9)
     keep = (opac > 0.05) & (screen < 0.5 * width)
-    return G.prune(slab, keep)
+    pruned = G.prune(slab, keep)
+    if train_len < full.capacity:
+        return dataclasses.replace(
+            full, active=full.active.at[:train_len].set(pruned.active)
+        )
+    return pruned
 
 
-@partial(jax.jit, static_argnames=("chunk",))
+@partial(jax.jit, static_argnames=("chunk", "train_len"))
 def weed_core(slab: G.GaussianSlab, cam_centres: jax.Array,
-              used: jax.Array, visible_threshold: float, chunk: int = 64):
+              used: jax.Array, visible_threshold: float, chunk: int = 64,
+              train_len: int = 1 << 30):
     """Visibility-fraction weeding (h3dgsv3.weed_out_gaussians :942-953)."""
+    full = slab
+    if train_len < slab.capacity:
+        slab = jax.tree_util.tree_map(lambda a: a[:train_len], slab)
     n_kf = jnp.maximum(jnp.sum(used), 1)
     # pad to a chunk multiple: a fixed chunk of 64 dropped the tail
     # keyframes at non-multiple capacities and failed to trace below 64
@@ -592,7 +654,12 @@ def weed_core(slab: G.GaussianSlab, cam_centres: jax.Array,
     count, _ = jax.lax.scan(body, count0, jnp.arange(steps))
     frac = count / n_kf
     keep = frac > visible_threshold
-    return G.prune(slab, keep)
+    weeded = G.prune(slab, keep)
+    if train_len < full.capacity:
+        return dataclasses.replace(
+            full, active=full.active.at[:train_len].set(weeded.active)
+        )
+    return weeded
 
 
 # ---------------------------------------------------------------------------
@@ -638,6 +705,9 @@ class SceneModel:
         self.cluster_state = clustering.create_cluster_state(cfg.voxel_table_size)
 
         self.keyframes: list[KF.KeyframeHostData] = []
+        # pow2 bucket over the active high-water mark: the training/render
+        # cores run on a prefix slice of this length (see _slice_slab)
+        self._train_len = self.slab.capacity
         self.last_trained_id = -1
         self.metrics_history: list[dict] = []
         self._np_rng = np.random.RandomState(seed)
@@ -847,7 +917,7 @@ class SceneModel:
             self.slab, self.gfeat.val, self.mlp, viewmat, expo,
             self._K_at_lvl(pyr_lvl), w, h, jnp.asarray(bg),
             self.cfg.sh_degree, self.cfg.low_pass_filter_eps,
-            self.cfg.cluster_capacity,
+            self.cfg.cluster_capacity, train_len=self._train_len,
         )
 
     # -- training --------------------------------------------------------
@@ -894,6 +964,7 @@ class SceneModel:
             gt, mono, self._K_at_lvl(lvl), bg,
             jnp.asarray(bool(kf.is_test)),
             w, h, lvl, is_important, self.cfg,
+            train_len=self._train_len,
         )
         self.last_trained_id = keyframe_id
         return metrics
@@ -933,6 +1004,7 @@ class SceneModel:
             jnp.asarray([bool(self.keyframes[i].is_test) for i in ids]),
             jnp.asarray(np.stack(bgs)),
             self._K_at_lvl(lvl), w, h, lvl, is_important, self.cfg,
+            train_len=self._train_len,
         )
         return metrics
 
@@ -1034,12 +1106,15 @@ class SceneModel:
                 self.slab, jnp.asarray(centre_w),
                 jnp.asarray(self.f, jnp.float32),
                 jnp.asarray(self.width, jnp.float32),
+                train_len=self._train_len,
             )
 
         # grow the slab when nearly full (recompile per power-of-two step);
-        # ONE fused readback for the two counts the host decision needs
-        n_act, n_new = np.asarray(jnp.stack([
-            self.slab.num_active(), jnp.sum(new_valid)
+        # ONE fused readback for the three counts the host decisions need
+        # (occupancy for growth, high-water mark for the training bucket)
+        n_act, n_new, high_water = np.asarray(jnp.stack([
+            self.slab.num_active(), jnp.sum(new_valid),
+            _high_water_jit(self.slab.active),
         ])).tolist()
         want = n_act + n_new
         cap = self.slab.capacity
@@ -1052,12 +1127,30 @@ class SceneModel:
             self.slab, self.opt, new_fields, new_valid
         )
 
-        self.weed_out_gaussians()
         # inserted count derived host-side (insert drops beyond free slots):
         # no extra device sync
         n_inserted = min(int(n_new), cap - int(n_act))
+        # training bucket: insert fills the LOWEST free slots, so the new
+        # high-water mark is bounded by hw_before + n_inserted; bucket it to
+        # the next pow2 (recomputed exactly at the next keyframe, so the
+        # bound never drifts).  Updated BEFORE weeding so the weed pass sees
+        # every just-inserted gaussian.
+        hw_bound = min(int(high_water) + n_inserted, cap)
+        want_len = min(max(self._pow2(hw_bound), self.cfg.initial_capacity),
+                       cap)
+        if want_len > self._train_len:
+            self._train_len = want_len
+
+        self.weed_out_gaussians()
         self._has_gaussians = self._has_gaussians or n_inserted > 0
         return n_inserted
+
+    @staticmethod
+    def _pow2(n: int, lo: int = 1024) -> int:
+        c = lo
+        while c < n:
+            c *= 2
+        return c
 
     def weed_out_gaussians(self):
         cam_centres = np.zeros((self.cfg.keyframe_capacity, 3), np.float32)
@@ -1068,7 +1161,7 @@ class SceneModel:
             cam_centres[i] = -R.T @ t
         self.slab = weed_core(
             self.slab, jnp.asarray(cam_centres), jnp.asarray(used),
-            self.cfg.visible_threshold,
+            self.cfg.visible_threshold, train_len=self._train_len,
         )
 
     # -- loop closure ----------------------------------------------------

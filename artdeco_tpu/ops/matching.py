@@ -586,9 +586,18 @@ def match_iterative_proj(
     cfg: the ``matching`` config block (max_iter, lambda_init,
     convergence_thresh, dist_thresh, radius, dilation_max).
     Returns (idx_1_to_2 (b,n) int32, valid (b,n,1) bool).
-    """
-    idx, valid, dropped = _match_cascade(
-        X11, X21, D11, D21, idx_1_to_2_init,
+
+    BATCHES RUN AS SEQUENTIAL b=1 DISPATCHES, not one vmapped program.
+    Measured on v5e at 512x288 (scripts/profile_stages.py): the vmapped
+    cascade is strongly SUPERLINEAR in b — per-cascade cost 74 ms at b=1,
+    132 at b=2, 153 at b=4, 211 at b=8 (refine 62->905 ms, iter_proj
+    20->776 ms at b=8): batching turns the per-pixel gathers/scatters into
+    batched-gather ops that TPU lowers to near-scalar loops.  Sequential
+    single-sample dispatches execute back-to-back on the device queue
+    (dispatch is async), so 2b cascades cost 2b x 74 ms — ~3x faster at the
+    8-cascade symmetric batch — and only ONE (b=1) program shape ever
+    compiles."""
+    statics = dict(
         max_iter=int(cfg["max_iter"]),
         lambda_init=float(cfg["lambda_init"]),
         cost_thresh=float(cfg["convergence_thresh"]),
@@ -599,8 +608,26 @@ def match_iterative_proj(
         # traffic; pass refine_dtype=None in cfg for the exact f32 path.
         refine_dtype=cfg.get("refine_dtype", "bfloat16"),
     )
-    # async device scalar; folded/read only at end-of-run reporting
-    _refine_telemetry.record(dropped)
+    b = X11.shape[0]
+    if b == 1:
+        idx, valid, dropped = _match_cascade(
+            X11, X21, D11, D21, idx_1_to_2_init, **statics
+        )
+        _refine_telemetry.record(dropped)
+        return idx, valid
+    outs = []
+    for e in range(b):
+        init_e = None if idx_1_to_2_init is None else idx_1_to_2_init[e : e + 1]
+        outs.append(_match_cascade(
+            X11[e : e + 1], X21[e : e + 1],
+            None if D11 is None else D11[e : e + 1],
+            None if D21 is None else D21[e : e + 1],
+            init_e, **statics,
+        ))
+    idx = jnp.concatenate([o[0] for o in outs], axis=0)
+    valid = jnp.concatenate([o[1] for o in outs], axis=0)
+    for o in outs:
+        _refine_telemetry.record(o[2])
     return idx, valid
 
 

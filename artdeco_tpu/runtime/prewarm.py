@@ -139,19 +139,20 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
         dilation_max=int(mcfg_match["dilation_max"]),
         refine_dtype=mcfg_match.get("refine_dtype", "bfloat16"),
     )
-    def low_cascade(b):
+    def low_cascade(with_init):
         def low():
             return M._match_cascade.lower(
-                sds((b, h, w, 3), f32), sds((b, h, w, 3), f32),
-                sds((b, h, w, d), f32), sds((b, h, w, d), f32),
-                sds((b, hw), jnp.int32) if b == 1 else None,
+                sds((1, h, w, 3), f32), sds((1, h, w, 3), f32),
+                sds((1, h, w, d), f32), sds((1, h, w, d), f32),
+                sds((1, hw), jnp.int32) if with_init else None,
                 **cascade_statics,
             )
         return low
 
-    # first-use order: the tracker's b=1 cascade runs at frame 1, the first
-    # keyframe's symmetric match at b=2; the rare wide buckets go last
-    jobs.append(("match_cascade[b=1]", low_cascade(1)))
+    # batches run as sequential b=1 dispatches (ops/matching.py), so only
+    # TWO cascade programs exist: tracker (seeded init) and symmetric
+    # (identity init).  First-use order: tracker at frame 1.
+    jobs.append(("match_cascade[init]", low_cascade(True)))
 
     # ---- tracker fused step ----------------------------------------------
     tcfg = system.frontend.tracker.cfg
@@ -170,7 +171,7 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
             covariance_filter=system.frontend.tracker.covariance_filter,
         )
     jobs.append(("track_step", low_track))
-    jobs.append(("match_cascade[b=2]", low_cascade(2)))
+    jobs.append(("match_cascade[noinit]", low_cascade(False)))
 
     # ---- factor-graph edge post (buckets) ----------------------------------
     q_conf = float(system.config["local_opt"]["Q_conf"])
@@ -204,6 +205,7 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
             slab_s, _sds_like(sm.gfeat.val), mlp_s, sds((4, 4), f32),
             sds((3, 4), f32), sds((3, 3), f32), Wm, Hm, sds((3,), f32),
             mcfg.sh_degree, mcfg.low_pass_filter_eps, mcfg.cluster_capacity,
+            train_len=sm._train_len,
         )
     jobs.append(("render_core", low_render))
 
@@ -241,7 +243,8 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
 
     def low_prune():
         return SM._densify_prune_core.lower(
-            slab_s, sds((3,), f32), sds((), f32), sds((), f32)
+            slab_s, sds((3,), f32), sds((), f32), sds((), f32),
+            train_len=sm._train_len,
         )
     jobs.append(("densify_prune", low_prune))
 
@@ -259,6 +262,7 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
                 sds((n_it, 3, hl, wl), f32), sds((n_it, 1, hl, wl), f32),
                 sds((n_it,), jnp.bool_), sds((n_it, 3), f32),
                 sds((3, 3), f32), wl, hl, lvl, imp, mcfg,
+                train_len=sm._train_len,
             )
         jobs.append((f"mapper_burst[n={n_it},imp={imp}]", low_burst))
 
@@ -266,13 +270,11 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
         return SM.weed_core.lower(
             slab_s, sds((mcfg.keyframe_capacity, 3), f32),
             sds((mcfg.keyframe_capacity,), jnp.bool_),
-            float(mcfg.visible_threshold),
+            float(mcfg.visible_threshold), train_len=sm._train_len,
         )
     jobs.append(("weed", low_weed))
 
     # ---- rare wide buckets last --------------------------------------------
-    for b in (4, 8):
-        jobs.append((f"match_cascade[b={b}]", low_cascade(b)))
     for b in (2, 4):
         jobs.append((f"edge_post[b={b}]", low_edge_post(b)))
 

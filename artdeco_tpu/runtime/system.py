@@ -101,6 +101,52 @@ class _Prefetcher:
             yield item
 
 
+class _UploadAhead:
+    """One-frame-ahead SLAM-tensor device upload.
+
+    The per-frame image h2d through the tunneled TPU backend costs
+    ~100-200 ms when paid synchronously inside ``process_frame``; issued a
+    frame ahead on this thread it overlaps the previous frame's device
+    compute (transfers ride the DMA path).  Wraps any frame iterator and
+    yields (("slam_dev", device_array), info)."""
+
+    def __init__(self, it, transform, depth: int = 3):
+        self.it = it
+        self.transform = transform
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.t = threading.Thread(target=self._run, daemon=True)
+        self.t.start()
+
+    def _upload(self, original_image):
+        import jax.numpy as jnp
+
+        if isinstance(original_image, tuple) and original_image[0] == "native":
+            return jnp.asarray(original_image[1])
+        return jnp.asarray(self.transform.to_slam(original_image))
+
+    def _run(self):
+        try:
+            for original_image, info in self.it:
+                dev = self._upload(original_image)
+                # block in THIS thread until the transfer lands so the
+                # consumer never waits on it
+                dev.block_until_ready()
+                self.q.put((("slam_dev", dev), info))
+        except Exception as e:  # surfaced to the consumer
+            self.q.put(e)
+            return
+        self.q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
 class _MapperWorker:
     """Background consumer of backend work items (the overlapped runtime,
     SURVEY §7 step 8).
@@ -391,16 +437,21 @@ class System:
                         self.dataset.image_name_list[i]])
                     if self.dataset.Twc_gt is not None:
                         info["Twc_gt"] = self.dataset.Twc_gt[i]
-                    # keep ONLY the latest frame's map-res tensor: mapper
-                    # messages refer to the current frame (the pipeline is
-                    # sequential per frame), and a dict keyed by frame id
-                    # would grow ~3.7 MB/frame without bound
-                    self._map_cache = {i: mp}
+                    # keep only a small window of map-res tensors: mapper
+                    # messages refer to recent frames (the upload-ahead
+                    # thread runs a few frames ahead of consumption), and a
+                    # dict keyed by frame id would grow ~3.7 MB/frame
+                    # without bound
+                    self._map_cache[i] = mp
+                    while len(self._map_cache) > 8:
+                        self._map_cache.pop(next(iter(self._map_cache)))
                     # frontend consumes the pre-transformed SLAM tensor
                     yield ("native", slam), info
             it = native_iter()
         else:
             it = _Prefetcher(self.dataset)
+        # upload the SLAM tensor one frame ahead, off the tracking thread
+        it = _UploadAhead(it, self.dataset.transform)
         bar = None
         if progress:
             try:

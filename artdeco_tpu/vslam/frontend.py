@@ -14,8 +14,16 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+import jax
+
 from artdeco_tpu.geometry import lie
 from artdeco_tpu.vslam import tracker as trk
+
+
+@jax.jit
+def _rel_pose_jit(T_WC_kf, T_WC_frame):
+    """Keyframe-relative pose as ONE device dispatch (per-frame hot path)."""
+    return lie.sim3_mul(lie.sim3_inv(T_WC_kf), T_WC_frame)
 from artdeco_tpu.vslam.frame import Frame, KeyframeStyle
 from artdeco_tpu.vslam.keyframes import KeyframeStore
 from artdeco_tpu.vslam.tracker import TrackingConfig
@@ -192,9 +200,13 @@ class Frontend:
     def process_frame(self, original_image, info: dict) -> Optional[dict]:
         """Track one frame; returns the F2B message dict or None.
 
-        original_image: (H, W, 3) raw frame, or ("native", slam_chw) when the
-        native loader already produced the SLAM-resolution tensor."""
-        if isinstance(original_image, tuple) and original_image[0] == "native":
+        original_image: (H, W, 3) raw frame, ("native", slam_chw) when the
+        native loader already produced the SLAM-resolution tensor, or
+        ("slam_dev", arr) when an upload-ahead thread already placed the
+        SLAM tensor on device (runtime/system._UploadAhead)."""
+        if isinstance(original_image, tuple) and original_image[0] == "slam_dev":
+            img_slam = original_image[1]
+        elif isinstance(original_image, tuple) and original_image[0] == "native":
             img_slam = jnp.asarray(original_image[1])
         else:
             img_slam = jnp.asarray(
@@ -256,9 +268,14 @@ class Frontend:
         }
 
     def _store_rel(self, frame: Frame, kf_index: int, kf: Frame):
-        T_rel = lie.sim3_mul(lie.sim3_inv(kf.T_WC), frame.T_WC)
+        # keep T_rel as a DEVICE array: np.asarray here is a d2h pull that
+        # waits (TPU executes enqueued programs in order) for EVERY queued
+        # device program — including overlapped mapper bursts — turning a
+        # 16-float copy into a per-frame full-queue drain on the tracking
+        # thread.  The host copy happens once, in estimated_trajectory.
+        T_rel = _rel_pose_jit(kf.T_WC, frame.T_WC)
         self.frames_info.append(
-            [frame.frame_id, frame.frame_time, kf_index, np.asarray(T_rel)]
+            [frame.frame_id, frame.frame_time, kf_index, T_rel]
         )
 
     # -- trajectories (Frontend.py:138-171) ------------------------------

@@ -183,7 +183,7 @@ def gauss_newton_calib(
     max_iter: int = 10,
     delta_thresh: float = 1e-8,
     num_fix: int = 1,
-    chunk: int = 8,
+    chunk: int = 64,
     point_stride: int = 1,
 ):
     """Global Sim(3) pose-graph GN (gauss_newton_calib_cuda semantics).
@@ -198,6 +198,16 @@ def gauss_newton_calib(
     P = T_wc.shape[0]
     E = ii.shape[0]
     D = 7
+    # large chunks keep the per-iteration edge scan SHORT: at the old
+    # chunk=8, E=64 the solver ran 8 sequential scan bodies per GN iteration
+    # (80 per solve), each paying ~4-5 ms of gather/control-flow latency —
+    # measured 329 ms/solve at 34 edges; chunk=64 makes it 1 body/iteration.
+    # chunk must divide E (the scan covers E//chunk slices): clamp to the
+    # largest divisor of E not above the requested chunk (E is a power of
+    # two in production, so this is just min(chunk, E) there)
+    chunk = min(chunk, E)
+    while E % chunk:
+        chunk -= 1
     if point_stride > 1:
         idx_ii2jj = idx_ii2jj[:, ::point_stride]
         valid_match = valid_match[:, ::point_stride]
@@ -313,7 +323,7 @@ def gauss_newton_calib_sparse(
     max_iter: int = 10,
     delta_thresh: float = 1e-8,
     num_fix: int = 1,
-    chunk: int = 8,
+    chunk: int = 64,
     pcg_iters: int = None,
     point_stride: int = 1,
 ):
@@ -337,6 +347,16 @@ def gauss_newton_calib_sparse(
     P = T_wc.shape[0]
     E = ii.shape[0]
     D = 7
+    # large chunks keep the per-iteration edge scan SHORT: at the old
+    # chunk=8, E=64 the solver ran 8 sequential scan bodies per GN iteration
+    # (80 per solve), each paying ~4-5 ms of gather/control-flow latency —
+    # measured 329 ms/solve at 34 edges; chunk=64 makes it 1 body/iteration.
+    # chunk must divide E (the scan covers E//chunk slices): clamp to the
+    # largest divisor of E not above the requested chunk (E is a power of
+    # two in production, so this is just min(chunk, E) there)
+    chunk = min(chunk, E)
+    while E % chunk:
+        chunk -= 1
     if point_stride > 1:
         idx_ii2jj = idx_ii2jj[:, ::point_stride]
         valid_match = valid_match[:, ::point_stride]

@@ -187,19 +187,53 @@ def main():
             lambda o: o[0],
         )
 
+    # ---- cascade component scaling (why is the batched cascade
+    # superlinear?) ----------------------------------------------------------
+    from artdeco_tpu.ops import matching as M
+
+    f0 = runner._dev(20)
+    f1 = runner._dev(21)
+    n_hw = h * w
+    for b in (1, 2, 4, 8):
+        X11 = jnp.stack([f0[0].reshape(h, w, 3)] * b)
+        X21 = jnp.stack([runner._cross_dev(21, 20).reshape(h, w, 3)] * b)
+        D11 = jnp.stack([f0[1].reshape(h, w, -1)] * b)
+        D21f = jnp.stack([f1[1]] * b)
+        rwg, ptn, pin = M.prep_for_iter_proj(X11, X21, None)
+        rwg.block_until_ready()
+        timeit(f"  iter_proj b={b}",
+               lambda: M.iter_proj(rwg, ptn, pin, max_iter=10),
+               lambda o: o[0], n=4)
+        uu, vv = jnp.meshgrid(jnp.arange(w), jnp.arange(h))
+        p_dummy = jnp.tile(
+            jnp.stack([uu, vv], -1).reshape(1, n_hw, 2), (b, 1, 1)
+        ).astype(jnp.int32)
+        timeit(f"  refine_dense b={b}",
+               lambda: M.refine_matches(D11, D21f, p_dummy, radius=4,
+                                        dilation_max=5,
+                                        compute_dtype=jnp.bfloat16),
+               lambda o: o, n=4)
+        cfg_m = config["matching"]
+        D21img = D21f.reshape(b, h, w, -1)
+        timeit(f"  full cascade b={b}",
+               lambda: M.match(cfg_m, X11, X21, D11, D21img, None),
+               lambda o: o[0], n=4)
+
     timeit("GN solve (current graph: "
            f"{len(fg.ii)} pairs, {fg.n_directed} directed)",
            lambda: (fg.solve_GN_calib(), jnp.zeros(()))[1],
            lambda o: o, n=4)
 
     # ---- mapper ------------------------------------------------------------
+    log(f"  [gaussians active: {sm.n_active_gaussians}, "
+        f"slab capacity: {sm.slab.xyz.shape[0]}]")
     timeit("mapper single iteration",
-           lambda: sm.optimization_step(is_important=True) or sm.slab.opacity,
+           lambda: sm.optimization_step(is_important=True)["loss"],
            lambda o: o, n=4)
     timeit("mapper 20-iteration burst",
-           lambda: sm.optimization_loop(20, is_important=True) or sm.slab.opacity,
+           lambda: sm.optimization_loop(20, is_important=True)["loss"],
            lambda o: o, n=2)
-    timeit("render_from_id (full res)",
+    timeit("render_from_id (full res, fwd only)",
            lambda: sm.render_from_id(len(sm.keyframes) - 1),
            lambda o: o["render"], n=4)
     timeit("densify (add_new_gaussians)",
