@@ -46,6 +46,33 @@ def bucket_of(xyz: jax.Array, voxel_size: float, table_size: int) -> jax.Array:
     return (jnp.abs(h) % table_size).astype(jnp.int32)
 
 
+# alias: the spatial hash doubles as a generic voxel hash (the reference's
+# torch.unique voxelization key, h3dgsv3.py:241-252)
+voxel_hash = bucket_of
+
+
+@partial(jax.jit, static_argnames=("num_segments", "num_classes"))
+def segment_majority_vote(
+    segment_ids: jax.Array,  # (N,) int32 bucket per point
+    labels: jax.Array,       # (N,) int32 class label per point
+    weights: jax.Array,      # (N,) float vote weight (use mask for validity)
+    num_segments: int,
+    num_classes: int,
+):
+    """Weighted majority class per segment (torch_scatter.scatter_max
+    equivalent, h3dgsv3.py:289).
+
+    Returns (winner (S,), count (S,)): argmax class of summed weights and
+    total weight per segment.  One-hot + segment_sum — used by callers whose
+    class count is small; ``update_clusters`` uses the sort-based vote."""
+    oh = jax.nn.one_hot(labels, num_classes, dtype=weights.dtype) \
+        * weights[:, None]
+    tally = jax.ops.segment_sum(oh, segment_ids, num_segments=num_segments)
+    winner = jnp.argmax(tally, axis=-1).astype(jnp.int32)
+    total = jnp.sum(tally, axis=-1)
+    return winner, total
+
+
 @partial(jax.jit, static_argnames=("table_size", "max_clusters"))
 def update_clusters(
     state: ClusterState,

@@ -99,6 +99,129 @@ def save_gaussian_ply(path: str, scene_model) -> int:
     return len(sel)
 
 
+def read_gaussian_ply(path: str) -> dict:
+    """Parse a (baked) gaussian PLY written by :func:`save_gaussian_ply`
+    back into field arrays (plain numpy; binary little-endian only)."""
+    with open(path, "rb") as f:
+        names = []
+        while True:
+            line = f.readline().decode("ascii").strip()
+            if line.startswith("property"):
+                names.append(line.split()[-1])
+            elif line == "end_header":
+                break
+            elif not line:
+                raise ValueError(f"{path}: truncated PLY header")
+        rec = np.fromfile(f, dtype=np.dtype([(n, "<f4") for n in names]))
+    cols = {n: rec[n] for n in names}
+    n = len(rec)
+    xyz = np.stack([cols["x"], cols["y"], cols["z"]], -1)
+    f_dc = np.stack([cols[f"f_dc_{i}"] for i in range(3)], -1)[:, None, :]
+    n_rest = sum(1 for k in names if k.startswith("f_rest_"))
+    if n_rest:
+        flat = np.stack([cols[f"f_rest_{i}"] for i in range(n_rest)], -1)
+        f_rest = flat.reshape(n, 3, n_rest // 3).transpose(0, 2, 1)
+    else:
+        f_rest = np.zeros((n, 0, 3), np.float32)
+    return dict(
+        xyz=xyz, f_dc=f_dc, f_rest=f_rest,
+        opacity=cols["opacity"][:, None],
+        scaling=np.stack([cols[f"scale_{i}"] for i in range(3)], -1),
+        rotation=np.stack([cols[f"rotation_{i}"] for i in range(4)], -1),
+    )
+
+
+def load_scene_for_viewing(run_dir: str, focal: float = None):
+    """Rebuild a renderable scene from a saved run directory.
+
+    The gaussian PLY is MLP-baked (scaling/rotation already modulated), so
+    the loaded scene renders through an IDENTITY mlp_cov: zero hidden
+    weights, output bias [+20,+20,+20, 1,1,1,1] — sigmoid(+20) == 1 leaves
+    the baked scale untouched and unit rotation gains keep the baked
+    quaternion.  d_max is +inf (no LOD culling for offline inspection).
+    The reference's disk-loading viewer path is broken
+    (``gaussianviewer.py:56`` imports a nonexistent module); this is the
+    working equivalent.
+    """
+    import glob
+    import json
+
+    import jax.numpy as jnp
+
+    from artdeco_tpu.mapper.config import MapperConfig
+    from artdeco_tpu.mapper.scene_model import MlpCov
+
+    candidates = (
+        glob.glob(os.path.join(run_dir, "pcd", "gs.ply"))
+        + glob.glob(os.path.join(run_dir, "**", "gs.ply"), recursive=True)
+        + ([run_dir] if run_dir.endswith(".ply") else [])
+    )
+    if not candidates:
+        raise FileNotFoundError(f"no gs.ply under {run_dir}")
+    fields = read_gaussian_ply(candidates[0])
+    n = len(fields["xyz"])
+    k = 1 + fields["f_rest"].shape[1]
+    sh_degree = int(round(np.sqrt(k))) - 1
+
+    meta_path = os.path.join(run_dir, "metadata.json")
+    width, height, f = 640, 360, focal or 500.0
+    if os.path.isfile(meta_path):
+        try:
+            meta = json.load(open(meta_path))
+            cfgm = meta.get("config", meta)
+            width = int(cfgm.get("width", width))
+            height = int(cfgm.get("height", height))
+            f = float(cfgm.get("f", cfgm.get("focal", f)))
+        except Exception:
+            pass
+
+    cfg = MapperConfig(capacity=max(n, 1), sh_degree=sh_degree,
+                       local_feat_dim=1, global_feat_dim=1,
+                       cluster_capacity=1, voxel_table_size=2)
+    from artdeco_tpu.mapper import gaussians as G_
+
+    slab = G_.create_slab(max(n, 1), sh_degree, 1, 1e-4)
+    slab = dataclasses_replace_slab(slab, fields, n)
+    mlp = MlpCov(
+        w1=jnp.zeros((2, 2)), b1=jnp.zeros((2,)),
+        w2=jnp.zeros((2, 7)),
+        b2=jnp.asarray([20.0, 20.0, 20.0, 1.0, 1.0, 1.0, 1.0]),
+    )
+
+    class _ViewerScene:
+        pass
+
+    vs = _ViewerScene()
+    vs.slab = slab
+    vs.mlp = mlp
+    vs.cfg = cfg
+    vs.width, vs.height, vs.f = width, height, f
+
+    class _GF:
+        # Dg=1 + local Dl=1 -> mlp feat_dim 2 (matches w1 above)
+        val = jnp.zeros((1, 1))
+
+    vs.gfeat = _GF()
+    return vs
+
+
+def dataclasses_replace_slab(slab, fields: dict, n: int):
+    """Scatter loaded PLY fields into a fresh slab's first ``n`` rows."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    upd = dict(active=jnp.asarray(np.arange(slab.capacity) < n))
+    for key in ("xyz", "f_dc", "f_rest", "scaling", "rotation", "opacity"):
+        base = getattr(slab, key)
+        v = np.asarray(fields[key], np.float32)
+        if v.shape[1:] != base.shape[1:]:   # f_rest K mismatch etc.
+            continue
+        upd[key] = jnp.asarray(base).at[:n].set(v)
+    upd["d_max"] = jnp.full((slab.capacity, 1), 1e10, jnp.float32)
+    return _dc.replace(slab, **upd)
+
+
 def save_xyz_rgb_ply(path: str, scene_model) -> int:
     """xyz + DC-term RGB point cloud (h3dgsv3.save_pcd :1103-1121)."""
     slab = scene_model.slab

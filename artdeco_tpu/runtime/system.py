@@ -102,20 +102,33 @@ class _Prefetcher:
 
 
 class _UploadAhead:
-    """One-frame-ahead SLAM-tensor device upload.
+    """Ahead-of-consumption SLAM-tensor device upload (runs up to
+    ``depth`` + in-flight frames ahead).
 
     The per-frame image h2d through the tunneled TPU backend costs
     ~100-200 ms when paid synchronously inside ``process_frame``; issued a
     frame ahead on this thread it overlaps the previous frame's device
     compute (transfers ride the DMA path).  Wraps any frame iterator and
-    yields (("slam_dev", device_array), info)."""
+    yields (("slam_dev", device_array), info).  Call :meth:`close` when the
+    consumer stops early, else the thread keeps decoding + uploading until
+    its queue fills and then holds those buffers forever."""
 
     def __init__(self, it, transform, depth: int = 3):
         self.it = it
         self.transform = transform
         self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = False
         self.t = threading.Thread(target=self._run, daemon=True)
         self.t.start()
+
+    def close(self):
+        """Stop the producer and drain queued items so it can exit."""
+        self._stop = True
+        while True:
+            try:
+                self.q.get_nowait()
+            except queue.Empty:
+                break
 
     def _upload(self, original_image):
         import jax.numpy as jnp
@@ -127,11 +140,20 @@ class _UploadAhead:
     def _run(self):
         try:
             for original_image, info in self.it:
+                if self._stop:
+                    return
                 dev = self._upload(original_image)
                 # block in THIS thread until the transfer lands so the
                 # consumer never waits on it
                 dev.block_until_ready()
-                self.q.put((("slam_dev", dev), info))
+                while not self._stop:
+                    try:
+                        self.q.put((("slam_dev", dev), info), timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop:
+                    return
         except Exception as e:  # surfaced to the consumer
             self.q.put(e)
             return
@@ -335,8 +357,8 @@ class System:
         if img_map is not None:
             info = dict(self.dataset.infos[
                 self.dataset.image_name_list[frame_id]])
-        elif frame_id in self._map_cache:
-            img_map = self._map_cache.pop(frame_id)
+        elif (cached := self._map_cache.pop(frame_id, None)) is not None:
+            img_map = cached
             info = dict(self.dataset.infos[
                 self.dataset.image_name_list[frame_id]])
         else:
@@ -442,9 +464,16 @@ class System:
                     # thread runs a few frames ahead of consumption), and a
                     # dict keyed by frame id would grow ~3.7 MB/frame
                     # without bound
+                    # pop with default: the main thread evicts concurrently
+                    # (consumer pops at _handle_mapper_msg / _stream_loop), so
+                    # a key seen by next(iter()) may be gone by pop time
                     self._map_cache[i] = mp
                     while len(self._map_cache) > 8:
-                        self._map_cache.pop(next(iter(self._map_cache)))
+                        try:
+                            k = next(iter(self._map_cache))
+                        except StopIteration:
+                            break
+                        self._map_cache.pop(k, None)
                     # frontend consumes the pre-transformed SLAM tensor
                     yield ("native", slam), info
             it = native_iter()
@@ -477,6 +506,7 @@ class System:
         try:
             self._stream_loop(it, bar, max_frames, annotate, worker)
         finally:
+            it.close()   # stop the upload thread on early exit / exception
             if worker is not None:
                 worker.close()
             if profile_dir:
@@ -568,7 +598,8 @@ class System:
             out_dir, reconstruction_time=dt, n_frames=self.n_frames
         )
         metrics = {k: v for k, v in scene_metrics.items()
-                   if k in ("PSNR", "SSIM", "Render", "GS", "n_test_frames")}
+                   if k in ("PSNR", "SSIM", "LPIPS", "Render", "GS",
+                            "n_test_frames")}
         metadata = {
             "time": dt,
             "FPS": self.n_frames / max(dt, 1e-9),

@@ -204,8 +204,9 @@ def gauss_newton_calib(
     # measured 329 ms/solve at 34 edges; chunk=64 makes it 1 body/iteration.
     # chunk must divide E (the scan covers E//chunk slices): clamp to the
     # largest divisor of E not above the requested chunk (E is a power of
-    # two in production, so this is just min(chunk, E) there)
-    chunk = min(chunk, E)
+    # two in production, so this is just min(chunk, E) there); E == 0 (a
+    # direct/test call with no edges) degenerates to chunk=1, zero slices
+    chunk = max(1, min(chunk, E))
     while E % chunk:
         chunk -= 1
     if point_stride > 1:
@@ -353,8 +354,9 @@ def gauss_newton_calib_sparse(
     # measured 329 ms/solve at 34 edges; chunk=64 makes it 1 body/iteration.
     # chunk must divide E (the scan covers E//chunk slices): clamp to the
     # largest divisor of E not above the requested chunk (E is a power of
-    # two in production, so this is just min(chunk, E) there)
-    chunk = min(chunk, E)
+    # two in production, so this is just min(chunk, E) there); E == 0 (a
+    # direct/test call with no edges) degenerates to chunk=1, zero slices
+    chunk = max(1, min(chunk, E))
     while E % chunk:
         chunk -= 1
     if point_stride > 1:

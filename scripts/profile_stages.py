@@ -227,11 +227,15 @@ def main():
     # ---- mapper ------------------------------------------------------------
     log(f"  [gaussians active: {sm.n_active_gaussians}, "
         f"slab capacity: {sm.slab.xyz.shape[0]}]")
+    # optimization_step/loop return None on an empty scene — guard so the
+    # probe times a no-op instead of raising TypeError
     timeit("mapper single iteration",
-           lambda: sm.optimization_step(is_important=True)["loss"],
+           lambda: (sm.optimization_step(is_important=True)
+                    or {}).get("loss", jnp.zeros(())),
            lambda o: o, n=4)
     timeit("mapper 20-iteration burst",
-           lambda: sm.optimization_loop(20, is_important=True)["loss"],
+           lambda: (sm.optimization_loop(20, is_important=True)
+                    or {}).get("loss", jnp.zeros(())),
            lambda o: o, n=2)
     timeit("render_from_id (full res, fwd only)",
            lambda: sm.render_from_id(len(sm.keyframes) - 1),

@@ -2,7 +2,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from artdeco_tpu.ops import adam, knn, voxel
+from artdeco_tpu.ops import adam, knn
+from artdeco_tpu.mapper import clustering as voxel
 
 
 def test_adam_basic_matches_formula():
