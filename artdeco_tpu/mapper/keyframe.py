@@ -11,6 +11,7 @@ keeps up to 400 keyframes' tensors on-GPU and randomly offloads).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import jax
@@ -108,6 +109,21 @@ def set_keyframe(pool: KeyframePool, idx, Rt_w2c: jax.Array,
     )
 
 
+@jax.jit
+def register_keyframe(pool: KeyframePool, idx, Rt_w2c: jax.Array,
+                      lr_pose, lr_exposure, depth_loss_weight,
+                      is_test) -> KeyframePool:
+    """set_keyframe with the reference's exposure inheritance (previous
+    keyframe's exposure, identity for keyframe 0) resolved IN-GRAPH — the
+    host-side ``pool.exposure[idx - 1]`` slice was an eager dispatch on the
+    per-keyframe path."""
+    prev = jnp.where(idx > 0,
+                     pool.exposure[jnp.maximum(idx - 1, 0)],
+                     jnp.eye(3, 4))
+    return set_keyframe(pool, idx, Rt_w2c, prev, lr_pose, lr_exposure,
+                        depth_loss_weight, is_test)
+
+
 def get_Rt(pool: KeyframePool, idx) -> jax.Array:
     """4x4 world->cam of keyframe idx (differentiable wrt pool params)."""
     R = sixd_to_mtx(pool.r_w2c[idx])
@@ -184,6 +200,97 @@ def _resize_bilinear(x: np.ndarray, h: int, w: int) -> np.ndarray:
     return (
         a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx + c_ * wy * (1 - wx) + d * wy * wx
     ).astype(x.dtype)
+
+
+@partial(jax.jit, static_argnames=("pyr_levels", "h", "w"))
+def _build_pyramids_jit(image, point_map, point_conf,
+                        pyr_levels: int, h: int, w: int):
+    """Keyframe pyramid construction ON DEVICE (same math as the numpy
+    helpers below: align_corners resize + 2x average pooling).
+
+    The reference builds these in torch on the GPU (keyframe.py:64-100);
+    the round-4 TPU port pulled point/conf to host, built numpy pyramids
+    and re-uploaded ~3 MB per keyframe — pure host<->device churn now that
+    the dense-point pipeline keeps its outputs in HBM.
+    """
+    depth = point_map[..., 2][None]
+    idepth = jnp.where(depth != 0, 1.0 / (depth + 1e-4), 1e4)
+    conf = point_conf[None]
+
+    def resize_ac(x, th, tw):
+        """align_corners=True bilinear (matches _resize_bilinear below)."""
+        c, H, W = x.shape
+        if (H, W) == (th, tw):
+            return x
+        ys = jnp.linspace(0.0, H - 1.0, th)
+        xs = jnp.linspace(0.0, W - 1.0, tw)
+        y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
+        y1 = jnp.clip(y0 + 1, 0, H - 1)
+        x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
+        x1 = jnp.clip(x0 + 1, 0, W - 1)
+        wy = (ys - y0)[None, :, None]
+        wx = (xs - x0)[None, None, :]
+        a = x[:, y0][:, :, x0]
+        b = x[:, y0][:, :, x1]
+        c_ = x[:, y1][:, :, x0]
+        d = x[:, y1][:, :, x1]
+        return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+                + c_ * wy * (1 - wx) + d * wy * wx)
+
+    def pool2(x):
+        c, H, W = x.shape
+        h2, w2 = H // 2, W // 2
+        return x[:, : h2 * 2, : w2 * 2].reshape(c, h2, 2, w2, 2).mean((2, 4))
+
+    image_pyr = [image.astype(jnp.float32)]
+    idepth_pyr = [resize_ac(idepth, h, w)]
+    conf_pyr = [resize_ac(conf, h, w)]
+    for _ in range(pyr_levels - 1):
+        image_pyr.append(pool2(image_pyr[-1]))
+        idepth_pyr.append(pool2(idepth_pyr[-1]))
+        conf_pyr.append(pool2(conf_pyr[-1]))
+    return image_pyr, idepth_pyr, conf_pyr
+
+
+def make_device_keyframe(
+    index: int,
+    global_frame_id: int,
+    image,                    # (3, H, W) map-res in [0, 1] — device or host
+    point_map,                # (H_slam, W_slam, 3) — device or host
+    point_conf,               # (H_slam, W_slam)
+    is_test: bool,
+    is_slam_keyframe: bool,
+    pyr_levels: int = 2,
+    image_name: str = "",
+    Rt_gt: Optional[np.ndarray] = None,
+    timestamp: float = 0.0,
+) -> "KeyframeHostData":
+    """Device-resident keyframe ingest: ONE jitted dispatch builds all
+    pyramids in HBM; no host pyramid pass, no re-upload.  The returned
+    KeyframeHostData's array fields are jax arrays (np.asarray pulls them
+    on demand for save/export paths — d2h is cheap on this backend)."""
+    image = jnp.asarray(image)
+    point_map = jnp.asarray(point_map)
+    point_conf = jnp.asarray(point_conf)
+    c, h, w = image.shape
+    image_pyr, idepth_pyr, conf_pyr = _build_pyramids_jit(
+        image, point_map, point_conf, pyr_levels, h, w
+    )
+    return KeyframeHostData(
+        index=index,
+        global_frame_id=global_frame_id,
+        image_name=image_name or f"frame_{global_frame_id:06d}",
+        is_test=is_test,
+        is_slam_keyframe=is_slam_keyframe,
+        image_pyr=list(image_pyr),
+        idepth_pyr=list(idepth_pyr),
+        conf_pyr=list(conf_pyr),
+        point_map=point_map,
+        point_conf=point_conf,
+        pyr_lvl=pyr_levels - 1,
+        Rt_gt=Rt_gt,
+        timestamp=timestamp,
+    )
 
 
 def make_host_keyframe(

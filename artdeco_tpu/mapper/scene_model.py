@@ -203,6 +203,25 @@ def render_core_jit(slab, gfeat, mlp, viewmat, exposure, K, width, height,
                        height, bg, sh_degree, eps2d, cluster_capacity)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("width", "height", "sh_degree", "eps2d",
+                     "cluster_capacity", "train_len"),
+)
+def render_from_pool_jit(slab, gfeat, mlp, pool, kf_idx, K, width, height,
+                         bg, sh_degree, eps2d, cluster_capacity,
+                         train_len: int = 1 << 30):
+    """render_core with the keyframe viewmat/exposure resolved IN-GRAPH from
+    the pool (the host-side get_Rt + exposure slice were ~7 eager dispatches
+    of ~9 ms each per render call)."""
+    viewmat = KF.get_Rt(pool, kf_idx)
+    exposure = pool.exposure[kf_idx]
+    if train_len < slab.capacity:
+        slab = jax.tree_util.tree_map(lambda a: a[:train_len], slab)
+    return render_core(slab, gfeat, mlp, viewmat, exposure, K, width,
+                       height, bg, sh_degree, eps2d, cluster_capacity)
+
+
 # ---------------------------------------------------------------------------
 # Optimization step (jitted once per (capacity, lvl))
 # ---------------------------------------------------------------------------
@@ -390,6 +409,32 @@ def _high_water_jit(active: jax.Array) -> jax.Array:
     return jnp.max(jnp.where(active, jnp.arange(n, dtype=jnp.int32), -1)) + 1
 
 
+@jax.jit
+def _densify_counts_jit(active: jax.Array, new_valid: jax.Array) -> jax.Array:
+    """[n_active, n_new, high_water] as one fused readback payload."""
+    return jnp.stack([
+        jnp.sum(active.astype(jnp.int32)),
+        jnp.sum(new_valid.astype(jnp.int32)),
+        _high_water_jit(active),
+    ])
+
+
+@jax.jit
+def _set_poses_masked_jit(pool: KF.KeyframePool, Rt, m) -> KF.KeyframePool:
+    return dataclasses.replace(
+        pool,
+        r_w2c=jnp.where(m[:, None, None], Rt[:, :3, :2], pool.r_w2c),
+        t_w2c=jnp.where(m[:, None], Rt[:, :3, 3], pool.t_w2c),
+    )
+
+
+@jax.jit
+def _cam_centres_jit(pool: KF.KeyframePool) -> jax.Array:
+    """(K, 3) camera centres (-R^T t) for every pool slot, in-graph."""
+    R = KF.sixd_to_mtx(pool.r_w2c)
+    return -jnp.einsum("kij,ki->kj", R, pool.t_w2c)
+
+
 def _slice_slab(slab, opt, train_len: int):
     """Prefix views of the slab/optimizer pytrees at ``train_len`` rows.
 
@@ -501,8 +546,7 @@ def optimization_burst_core(
 # Densification core (per lod, jitted per static shapes)
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("lod", "width", "height", "budget", "cfg"))
-def densify_candidates_core(
+def _densify_candidates_body(
     image: jax.Array,        # (3, H/2-pooled base) actually map-res image
     render_rgb: jax.Array,   # (3, H, W) current render (0 if empty scene)
     render_depth: jax.Array,  # (1, H, W)
@@ -597,6 +641,70 @@ def densify_candidates_core(
         d_max=d_max,
         valid=valid,
     )
+
+
+@partial(jax.jit,
+         static_argnames=("width", "height", "budget", "cfg", "sh_k",
+                          "local_feat_dim"))
+def densify_all_lods_core(
+    image: jax.Array,         # (3, H, W)
+    render_rgb: jax.Array,    # (3, H, W)
+    render_depth: jax.Array,  # (1, H, W)
+    has_scene: jax.Array,     # () bool
+    point_map_z: jax.Array,   # (1, Hs, Ws)
+    point_conf: jax.Array,    # (1, Hs, Ws)
+    pool: KF.KeyframePool,
+    kf_idx: jax.Array,        # () int32
+    f: jax.Array,             # () focal
+    rng: jax.Array,
+    width: int,
+    height: int,
+    budget: int,              # per-lod budget
+    cfg: MapperConfig,
+    sh_k: int,
+    local_feat_dim: int,
+):
+    """The WHOLE multi-LOD densification candidate pass as one program
+    (h3dgsv3.add_new_gaussians :765-940 over lods [1, 2, 4, 8]).
+
+    Replaces four per-lod jit calls + ~20 eager host ops (get_Rt chain,
+    per-field concats, zeros/tile constant builds) with a single dispatch —
+    each eager op costs ~9 ms of blocking host time on the target backend.
+
+    Returns (new_fields dict incl. all slab columns except cls_id,
+    new_valid (B,), centre_w (3,)).
+    """
+    viewmat = KF.get_Rt(pool, kf_idx)
+    R_w2c = viewmat[:3, :3]
+    t_w2c = viewmat[:3, 3]
+    per = []
+    for lod in LODS:
+        rng, k = jax.random.split(rng)
+        b_lod = min(budget, (height // lod) * (width // lod))
+        per.append(_densify_candidates_body(
+            image, render_rgb, render_depth, has_scene, point_map_z,
+            point_conf, R_w2c, t_w2c, f, k, lod, width, height, b_lod, cfg,
+        ))
+
+    def cat(key):
+        return jnp.concatenate([c[key] for c in per], axis=0)
+
+    new_xyz = cat("xyz")
+    b_total = new_xyz.shape[0]
+    fields = dict(
+        xyz=new_xyz,
+        f_dc=cat("f_dc"),
+        f_rest=jnp.zeros((b_total, sh_k - 1, 3)),
+        scaling=cat("scaling"),
+        rotation=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (b_total, 1)),
+        opacity=cat("opacity"),
+        local_feat=jnp.zeros((b_total, local_feat_dim)),
+        d_max=cat("d_max"),
+        kf_id=jnp.full((b_total,), kf_idx, jnp.int32),
+        xyz_lr=jnp.full((b_total,), cfg.position_lr_init),
+    )
+    centre_w = -t_w2c @ R_w2c
+    return fields, cat("valid"), centre_w
 
 
 @partial(jax.jit, static_argnames=("train_len",))
@@ -830,14 +938,11 @@ class SceneModel:
     def add_keyframe(self, kf: KF.KeyframeHostData, Rt_w2c: np.ndarray):
         """Register keyframe params + host data (reference :981-1041)."""
         idx = kf.index
-        prev_expo = (
-            self.pool.exposure[idx - 1] if idx > 0 else jnp.eye(3, 4)
-        )
         lr_pose = 0.0 if idx == 0 else self.cfg.lr_poses
         if kf.is_test:
             lr_pose = 1e-4
-        self.pool = KF.set_keyframe(
-            self.pool, idx, jnp.asarray(Rt_w2c, jnp.float32), prev_expo,
+        self.pool = KF.register_keyframe(
+            self.pool, idx, jnp.asarray(Rt_w2c, jnp.float32),
             lr_pose, self.cfg.lr_exposure, self.cfg.depth_loss_weight_init,
             kf.is_test,
         )
@@ -853,8 +958,10 @@ class SceneModel:
 
     def _enforce_active_cap(self):
         """Bound device-resident keyframes at ``max_active_keyframes`` by
-        randomly offloading an older one to host (the host copies always live
-        in ``self.keyframes``) — reference h3dgsv3.py:1025-1041."""
+        randomly offloading an older one to host (reference h3dgsv3.py:
+        1025-1041).  Keyframe payload arrays live on DEVICE by default
+        (make_device_keyframe); offload pulls them to host numpy, freeing
+        HBM — they re-upload lazily if ever trained again."""
         cap = self.cfg.max_active_keyframes
         while len(self._active_ids) > max(cap, 1):
             # never evict the newest keyframe (it is the replay anchor)
@@ -862,6 +969,13 @@ class SceneModel:
             evicted = self._active_ids.pop(j)
             for lvl in range(self.cfg.pyr_levels):
                 self._dev_cache.pop((evicted, lvl), None)
+            kf = self.keyframes[evicted]
+            if kf is not None:
+                for attr in ("image_pyr", "idepth_pyr", "conf_pyr"):
+                    setattr(kf, attr,
+                            [np.asarray(x) for x in getattr(kf, attr)])
+                kf.point_map = np.asarray(kf.point_map)
+                kf.point_conf = np.asarray(kf.point_conf)
 
     def set_keyframe_pose(self, idx: int, Rt_w2c: np.ndarray):
         Rt = jnp.asarray(Rt_w2c, jnp.float32)
@@ -875,12 +989,9 @@ class SceneModel:
         """Batched pose writeback at full capacity (one device op; avoids a
         per-keyframe dispatch loop whose tunnel round-trips grow O(n) per
         loop-closure event).  Rt_w2c_cap (cap, 4, 4), mask_cap (cap,)."""
-        Rt = jnp.asarray(Rt_w2c_cap, jnp.float32)
-        m = jnp.asarray(mask_cap)
-        self.pool = dataclasses.replace(
-            self.pool,
-            r_w2c=jnp.where(m[:, None, None], Rt[:, :3, :2], self.pool.r_w2c),
-            t_w2c=jnp.where(m[:, None], Rt[:, :3, 3], self.pool.t_w2c),
+        self.pool = _set_poses_masked_jit(
+            self.pool, jnp.asarray(Rt_w2c_cap, jnp.float32),
+            jnp.asarray(mask_cap),
         )
 
     # -- rendering -------------------------------------------------------
@@ -889,12 +1000,12 @@ class SceneModel:
             bg = jnp.zeros(3)
         lvl_scale = 2 ** pyr_lvl
         w, h = self.width // lvl_scale, self.height // lvl_scale
-        viewmat = KF.get_Rt(self.pool, keyframe_id)
-        expo = self.pool.exposure[keyframe_id]
         if (
             self._mesh is not None
             and h % (16 * self._mesh.size) == 0
         ):
+            viewmat = KF.get_Rt(self.pool, keyframe_id)
+            expo = self.pool.exposure[keyframe_id]
             # eval/save full-frame renders ride the row-strip sharded path
             # when a mesh is enabled (full render_core parity —
             # parallel/splats.make_row_sharded_render_core)
@@ -913,8 +1024,9 @@ class SceneModel:
                 self._sharded_core_renders[key] = fn
             return fn(self.slab, self.gfeat.val, self.mlp, viewmat, expo,
                       self._K_at_lvl(pyr_lvl), jnp.asarray(bg))
-        return render_core_jit(
-            self.slab, self.gfeat.val, self.mlp, viewmat, expo,
+        return render_from_pool_jit(
+            self.slab, self.gfeat.val, self.mlp, self.pool,
+            jnp.asarray(keyframe_id, jnp.int32),
             self._K_at_lvl(pyr_lvl), w, h, jnp.asarray(bg),
             self.cfg.sh_degree, self.cfg.low_pass_filter_eps,
             self.cfg.cluster_capacity, train_len=self._train_len,
@@ -929,13 +1041,13 @@ class SceneModel:
         return int(self._np_rng.randint(0, len(self.keyframes)))
 
     def _device_kf(self, keyframe_id: int, lvl: int):
-        key = (keyframe_id, lvl)
+        kf = self.keyframes[keyframe_id]
+        gt, mono = kf.image_pyr[lvl], kf.idepth_pyr[lvl]
+        if isinstance(gt, jax.Array):       # device-resident ingest path
+            return gt, mono
+        key = (keyframe_id, lvl)            # host payloads: upload + cache
         if key not in self._dev_cache:
-            kf = self.keyframes[keyframe_id]
-            self._dev_cache[key] = (
-                jnp.asarray(kf.image_pyr[lvl]),
-                jnp.asarray(kf.idepth_pyr[lvl]),
-            )
+            self._dev_cache[key] = (jnp.asarray(gt), jnp.asarray(mono))
         return self._dev_cache[key]
 
     def optimization_step(self, is_important: bool = True, finetuning: bool = False):
@@ -1038,10 +1150,6 @@ class SceneModel:
         if kf.is_test:
             return
 
-        viewmat = KF.get_Rt(self.pool, keyframe_id)
-        R_w2c = np.asarray(viewmat[:3, :3])
-        t_w2c = np.asarray(viewmat[:3, 3])
-
         has_scene = self._has_gaussians   # host-tracked; no device sync
         if has_scene:
             pkg = self.render_from_id(keyframe_id)
@@ -1052,58 +1160,32 @@ class SceneModel:
             render_depth = jnp.zeros((1, self.height, self.width))
 
         image = jnp.asarray(kf.image_pyr[0])
-        pm_z = jnp.asarray(kf.point_map[..., 2])[None]
+        pm_z = jnp.asarray(kf.point_map)[None, ..., 2]
         pconf = jnp.asarray(kf.point_conf)[None]
 
         budget = self.cfg.new_budget // len(LODS)
-        all_cand = []
-        for lod in LODS:
-            b_lod = min(budget, (self.height // lod) * (self.width // lod))
-            cand = densify_candidates_core(
-                image, render_rgb, render_depth, jnp.asarray(has_scene),
-                pm_z, pconf, jnp.asarray(R_w2c), jnp.asarray(t_w2c),
-                self.f, self._rand(), lod, self.width, self.height,
-                b_lod, self.cfg,
-            )
-            all_cand.append((lod, cand))
-
-        # concatenate lod candidates
-        def cat(key):
-            return jnp.concatenate([c[key] for _, c in all_cand], axis=0)
-
-        new_xyz = cat("xyz")
-        new_valid = cat("valid")
+        new_fields, new_valid, centre_w = densify_all_lods_core(
+            image, render_rgb, render_depth, jnp.asarray(has_scene),
+            pm_z, pconf, self.pool, jnp.asarray(keyframe_id, jnp.int32),
+            jnp.asarray(self.f, jnp.float32), self._rand(),
+            self.width, self.height, budget, self.cfg,
+            (self.cfg.sh_degree + 1) ** 2, self.cfg.local_feat_dim,
+        )
 
         # cluster assignment (voxel majority vote)
         (self.cluster_state, upd_cls, new_cls, n_fresh) = clustering.update_clusters(
             self.cluster_state, self.slab.xyz, self.slab.cls_id,
-            self.slab.active, new_xyz, new_valid,
+            self.slab.active, new_fields["xyz"], new_valid,
             self.cfg.voxel_size, self.cfg.voxel_table_size,
             self.cfg.cluster_capacity,
         )
         self.slab = dataclasses.replace(self.slab, cls_id=upd_cls)
-
-        b_total = new_xyz.shape[0]
-        k = (self.cfg.sh_degree + 1) ** 2
-        new_fields = dict(
-            xyz=new_xyz,
-            f_dc=cat("f_dc"),
-            f_rest=jnp.zeros((b_total, k - 1, 3)),
-            scaling=cat("scaling"),
-            rotation=jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (b_total, 1)),
-            opacity=cat("opacity"),
-            local_feat=jnp.zeros((b_total, self.cfg.local_feat_dim)),
-            d_max=cat("d_max"),
-            cls_id=new_cls,
-            kf_id=jnp.full((b_total,), keyframe_id, jnp.int32),
-            xyz_lr=jnp.full((b_total,), self.cfg.position_lr_init),
-        )
+        new_fields["cls_id"] = new_cls
 
         # prune before insert (opacity/screen-size, reference :893-903)
         if has_scene:
-            centre_w = -t_w2c @ R_w2c
             self.slab = _densify_prune_core(
-                self.slab, jnp.asarray(centre_w),
+                self.slab, centre_w,
                 jnp.asarray(self.f, jnp.float32),
                 jnp.asarray(self.width, jnp.float32),
                 train_len=self._train_len,
@@ -1112,10 +1194,9 @@ class SceneModel:
         # grow the slab when nearly full (recompile per power-of-two step);
         # ONE fused readback for the three counts the host decisions need
         # (occupancy for growth, high-water mark for the training bucket)
-        n_act, n_new, high_water = np.asarray(jnp.stack([
-            self.slab.num_active(), jnp.sum(new_valid),
-            _high_water_jit(self.slab.active),
-        ])).tolist()
+        n_act, n_new, high_water = np.asarray(_densify_counts_jit(
+            self.slab.active, new_valid
+        )).tolist()
         want = n_act + n_new
         cap = self.slab.capacity
         while want > 0.85 * cap and cap < self.cfg.capacity:
@@ -1153,25 +1234,29 @@ class SceneModel:
         return c
 
     def weed_out_gaussians(self):
-        cam_centres = np.zeros((self.cfg.keyframe_capacity, 3), np.float32)
-        Rts = np.asarray(KF.get_all_Rt(self.pool))
-        used = np.asarray(self.pool.used)
-        for i in range(len(self.keyframes)):
-            R, t = Rts[i, :3, :3], Rts[i, :3, 3]
-            cam_centres[i] = -R.T @ t
+        # cam centres + used mask stay on device (the old host loop pulled
+        # the whole pose pool per keyframe: an eager get_all_Rt chain +
+        # d2h + re-upload)
         self.slab = weed_core(
-            self.slab, jnp.asarray(cam_centres), jnp.asarray(used),
+            self.slab, _cam_centres_jit(self.pool), self.pool.used,
             self.cfg.visible_threshold, train_len=self._train_len,
         )
 
     # -- loop closure ----------------------------------------------------
-    def rigid_transform_gs(self, old_c2ws: np.ndarray, new_c2ws: np.ndarray):
-        """old/new (Kf, 4, 4) camera-to-world; Kf >= number of keyframes."""
+    def rigid_transform_gs(self, old_c2ws, new_c2ws):
+        """old/new (Kf, 4, 4) camera-to-world; Kf >= number of keyframes.
+        Device arrays already at keyframe capacity (with identity rows for
+        unused slots) pass straight through — no host round-trip."""
         cap = self.cfg.keyframe_capacity
+        if old_c2ws.shape[0] == cap and new_c2ws.shape[0] == cap:
+            self.slab = G.rigid_transform(
+                self.slab, jnp.asarray(old_c2ws), jnp.asarray(new_c2ws)
+            )
+            return
         old = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
         new = np.tile(np.eye(4, dtype=np.float32), (cap, 1, 1))
-        old[: old_c2ws.shape[0]] = old_c2ws
-        new[: new_c2ws.shape[0]] = new_c2ws
+        old[: old_c2ws.shape[0]] = np.asarray(old_c2ws)
+        new[: new_c2ws.shape[0]] = np.asarray(new_c2ws)
         self.slab = G.rigid_transform(
             self.slab, jnp.asarray(old), jnp.asarray(new)
         )

@@ -176,7 +176,13 @@ class OracleRunner:
 
     def _cross_dev(self, fid_src: int, fid_dst: int):
         """Frame src's points in dst's camera, computed on device (one jit
-        instead of a chain of eager dispatches)."""
+        instead of a chain of eager dispatches).  Cached: the tracker asks
+        for the same (keyframe -> frame) pair only once, but the backend's
+        keyframe path re-requests pairs the tracker already produced."""
+        key = ("cross", fid_src, fid_dst)
+        hit = self._dev_cache.get(key)
+        if hit is not None:
+            return hit
         Xs, _, Ts = self._dev(fid_src)
         _, _, Td = self._dev(fid_dst)
         if OracleRunner._cross_jit is None:
@@ -187,7 +193,11 @@ class OracleRunner:
                     lie.sim3_mul(lie.sim3_inv(Td), Ts), Xs
                 )
             )
-        return OracleRunner._cross_jit(Td, Ts, Xs)
+        out = OracleRunner._cross_jit(Td, Ts, Xs)
+        self._dev_cache[key] = out
+        if len(self._dev_cache) > 4096:
+            self._dev_cache.pop(next(iter(self._dev_cache)))
+        return out
 
     # -- Mast3rRunner surface -------------------------------------------------
     def encode_image(self, img):
@@ -209,6 +219,28 @@ class OracleRunner:
         feat, pos = self.encode_image(img[None])
         return jnp.stack([X, X]), jnp.stack([C, C]), feat, pos
 
+    _rrs_jit = None
+
+    def _img_views(self, fid: int):
+        """Cached (1, h, w, c) image-shaped views of a frame's pointmap +
+        descriptors (reshaped ONCE on device instead of per match call)."""
+        hit = self._dev_cache.get(("views", fid))
+        if hit is None:
+            X, D, _ = self._dev(fid)
+            if OracleRunner._rrs_jit is None:
+                import jax
+                from functools import partial as _partial
+
+                @_partial(jax.jit, static_argnames=("h", "w"))
+                def _f(X, D, h, w):
+                    return (X.reshape(1, h, w, 3),
+                            D.reshape(1, h, w, -1))
+
+                OracleRunner._rrs_jit = _f
+            hit = OracleRunner._rrs_jit(X, D, self.h, self.w)
+            self._dev_cache[("views", fid)] = hit
+        return hit
+
     def match_asymmetric(self, img_i, img_j, idx_i2j_init=None,
                          embeddings_i=None, embeddings_j=None):
         fi = self._fid(img_i) if embeddings_i is None else (
@@ -216,15 +248,16 @@ class OracleRunner:
         fj = self._fid(img_j) if embeddings_j is None else (
             self._fid_from_feat(embeddings_j[0]))
         Xii, Dii, _ = self._dev(fi)
+        Xii_img, Dii_img = self._img_views(fi)
         Xji = self._cross_dev(fj, fi)
-        Dji = self._dev(fj)[1]
+        Dji_img = self._img_views(fj)[1]
         h, w = self.h, self.w
         idx, valid = matching.match(
             self.match_cfg,
-            Xii.reshape(1, h, w, 3),
+            Xii_img,
             Xji.reshape(1, h, w, 3),
-            Dii.reshape(1, h, w, -1),
-            Dji.reshape(1, h, w, -1),
+            Dii_img,
+            Dji_img,
             idx_1_to_2_init=idx_i2j_init,
         )
         feat, pos = np.zeros((1, 4, 4), np.float32), np.zeros((1, 4, 2), np.int32)
@@ -237,32 +270,65 @@ class OracleRunner:
             jnp.asarray(feat), jnp.asarray(pos),
         )
 
+    _stack_jit = None
+
+    @classmethod
+    def _stack0(cls, xs, trailing=None):
+        """Stack a list (+ optional reshape of the per-row trailing dims)
+        as one jitted dispatch, cached per (length, trailing) — eager
+        jnp.stack / reshape cost ~9 ms of blocking host RPC each."""
+        if cls._stack_jit is None:
+            import jax
+            from functools import partial as _partial
+
+            @_partial(jax.jit, static_argnames=("trailing",))
+            def _f(*a, trailing=None):
+                s = jnp.stack(a)
+                if trailing is not None:
+                    s = s.reshape((s.shape[0],) + trailing)
+                return s
+
+            cls._stack_jit = _f
+        return cls._stack_jit(*xs, trailing=trailing)
+
     def match_symmetric(self, feat_i, pos_i, feat_j, pos_j, hw):
         """Both directions of every edge in ONE batched match call (mirrors
         Mast3rRunner.match_symmetric's batched decode+match)."""
-        b = np.asarray(feat_i).shape[0]
         h, w = hw
-        fis = [int(np.asarray(feat_i)[e, 0, 0]) for e in range(b)]
-        fjs = [int(np.asarray(feat_j)[e, 0, 0]) for e in range(b)]
+        fi_host = np.asarray(feat_i)   # one pull for the whole batch
+        fj_host = np.asarray(feat_j)
+        b = fi_host.shape[0]
+        fis = [int(fi_host[e, 0, 0]) for e in range(b)]
+        fjs = [int(fj_host[e, 0, 0]) for e in range(b)]
         # rows [0,b): i->j (X11=Xii, X21=Xji, D21=Djj);
         # rows [b,2b): j->i (X11=Xjj, X21=Xij, D21=Dii) — all device stacks
-        X11 = jnp.stack([self._dev(f)[0] for f in fis]
-                        + [self._dev(f)[0] for f in fjs])
-        X21 = jnp.stack([self._cross_dev(fj, fi)
-                         for fi, fj in zip(fis, fjs)]
-                        + [self._cross_dev(fi, fj)
-                           for fi, fj in zip(fis, fjs)])
-        D11 = jnp.stack([self._dev(f)[1] for f in fis]
-                        + [self._dev(f)[1] for f in fjs])
-        D21 = jnp.stack([self._dev(f)[1] for f in fjs]
-                        + [self._dev(f)[1] for f in fis])
-        d = D11.shape[-1]
+        d = self._dev(fis[0])[1].shape[-1]
+        X11 = self._stack0([self._dev(f)[0] for f in fis]
+                           + [self._dev(f)[0] for f in fjs],
+                           trailing=(h, w, 3))
+        X21 = self._stack0([self._cross_dev(fj, fi)
+                            for fi, fj in zip(fis, fjs)]
+                           + [self._cross_dev(fi, fj)
+                              for fi, fj in zip(fis, fjs)],
+                           trailing=(h, w, 3))
+        D11 = self._stack0([self._dev(f)[1] for f in fis]
+                           + [self._dev(f)[1] for f in fjs],
+                           trailing=(h, w, d))
+        D21 = self._stack0([self._dev(f)[1] for f in fjs]
+                           + [self._dev(f)[1] for f in fis],
+                           trailing=(h, w, d))
         idx, valid = matching.match(
-            self.match_cfg,
-            X11.reshape(2 * b, h, w, 3),
-            X21.reshape(2 * b, h, w, 3),
-            D11.reshape(2 * b, h, w, d),
-            D21.reshape(2 * b, h, w, d),
+            self.match_cfg, X11, X21, D11, D21,
         )
-        Qc = jnp.full((b, h * w, 1), self.conf_value)
+        Qc = self._q_const(b)
         return (idx[:b], idx[b:], valid[:b], valid[b:], Qc, Qc, Qc, Qc)
+
+    _q_cache: dict = {}
+
+    def _q_const(self, b: int):
+        key = (b, self.h, self.w)
+        hit = OracleRunner._q_cache.get(key)
+        if hit is None:
+            hit = jnp.full((b, self.h * self.w, 1), self.conf_value)
+            OracleRunner._q_cache[key] = hit
+        return hit

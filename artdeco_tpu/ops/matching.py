@@ -465,6 +465,7 @@ def refine_matches(
     compute_dtype=None,
     force_dense: bool = False,
     return_dropped: bool = False,
+    valid: jax.Array = None,  # (b, n) bool — queries to refine (None = all)
 ):
     """Coarse-to-fine local descriptor search around current matches.
 
@@ -474,9 +475,15 @@ def refine_matches(
       zero per-pixel gathers (claim/scatter + static-shift score maps).
     * wide-row-gather stack — f32 golden path.
 
-    With ``return_dropped`` returns (p_new, n_dropped) where n_dropped
-    counts collision losers beyond the dense cascade's per-level budget
-    (always 0 on the stack path).
+    ``valid`` (dense path only) restricts the search to matches that pass
+    the occlusion distance filter — semantics-preserving because every
+    downstream consumer masks by the same validity, and it keeps border
+    clamp pileups out of the collision passes (see refine_dense).
+
+    With ``return_dropped`` returns (p_new, n_dropped); the dense cascade
+    now drains all collision losers, so n_dropped is 0 unless the drain
+    bound itself (ceil(N/chunk) passes) is exceeded — impossible by
+    construction, kept observable per SURVEY "no silent caps".
 
     Batch handling: the dense path vmaps (compact transients, batched
     einsums); the stack path lax.maps because each sample materializes a
@@ -492,7 +499,8 @@ def refine_matches(
             dilation_max=dilation_max,
         )
         if D11.shape[0] == 1:
-            p, nd = fn(D11[0], D21[0], p1[0])
+            p, nd = fn(D11[0], D21[0], p1[0],
+                       valid=None if valid is None else valid[0])
             p, nd = p[None].astype(p1.dtype), nd
         else:
             # vmap (not lax.map): batching the dense cascade turns 8
@@ -502,7 +510,12 @@ def refine_matches(
             # also hoist any concrete body constant into an executable
             # parameter, which is the failure surface behind the r3/r4
             # pipeline crash (see ops/refine_dense.py DISPATCH HAZARD).
-            p, nd = jax.vmap(fn)(D11, D21, p1)
+            if valid is None:
+                p, nd = jax.vmap(fn)(D11, D21, p1)
+            else:
+                p, nd = jax.vmap(
+                    lambda a, b, c, v: fn(a, b, c, valid=v)
+                )(D11, D21, p1, valid)
             p, nd = p.astype(p1.dtype), jnp.sum(nd)
         return (p, nd) if return_dropped else p
     fn = partial(_refine_single, radius=radius, dilation_max=dilation_max,
@@ -566,6 +579,7 @@ def _match_cascade(
             dilation_max=dilation_max,
             compute_dtype=refine_dtype,
             return_dropped=True,
+            valid=valid,
         )
 
     idx_1_to_2 = pixel_to_lin(p1, w)
@@ -617,18 +631,33 @@ def match_iterative_proj(
         return idx, valid
     outs = []
     for e in range(b):
-        init_e = None if idx_1_to_2_init is None else idx_1_to_2_init[e : e + 1]
+        e_dev = jnp.int32(e)
+        init_e = (None if idx_1_to_2_init is None
+                  else _slice_row(idx_1_to_2_init, e_dev))
         outs.append(_match_cascade(
-            X11[e : e + 1], X21[e : e + 1],
-            None if D11 is None else D11[e : e + 1],
-            None if D21 is None else D21[e : e + 1],
+            _slice_row(X11, e_dev), _slice_row(X21, e_dev),
+            None if D11 is None else _slice_row(D11, e_dev),
+            None if D21 is None else _slice_row(D21, e_dev),
             init_e, **statics,
         ))
-    idx = jnp.concatenate([o[0] for o in outs], axis=0)
-    valid = jnp.concatenate([o[1] for o in outs], axis=0)
+    idx = _concat_rows(*[o[0] for o in outs])
+    valid = _concat_rows(*[o[1] for o in outs])
     for o in outs:
         _refine_telemetry.record(o[2])
     return idx, valid
+
+
+@jax.jit
+def _slice_row(a, e):
+    """One (1, ...) batch-row slice as a jitted dispatch; ``e`` is traced so
+    every row shares one executable (an eager a[e:e+1] costs ~9 ms of
+    blocking host RPC on the tunneled backend)."""
+    return jax.lax.dynamic_slice_in_dim(a, e, 1, 0)
+
+
+@jax.jit
+def _concat_rows(*xs):
+    return jnp.concatenate(xs, axis=0)
 
 
 def match(cfg, X11, X21, D11, D21, idx_1_to_2_init=None):

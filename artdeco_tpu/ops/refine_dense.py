@@ -131,22 +131,27 @@ def refine_matches_dense_single(
     radius: int = 4,
     dilation_max: int = 5,
     interpret: bool = False,  # kept for call-site compat; pure-XLA now
+    valid: jax.Array = None,  # (n,) bool — queries to refine (None = all)
 ):
     """See module docstring.  Performance note (measured, v5e): EVERY
     147k-scale random-access op (gather/scatter of any payload) costs
     ~1.4 ms on TPU regardless of byte count, and every lax control-flow
     region in a large live set costs ~4 ms — so this function packs all
-    per-level position lookups into single takes and runs ONE unconditional
-    collision pass per level.
+    per-level position lookups into single takes.
 
-    Coverage: results are exactly the reference cascade whenever the number
-    of collision losers per level is <= _SPARSE_CHUNK (always true for
-    N <= 16384, and true at 512x288 up to an 11% collision rate — well
-    above well-tracked-frame rates).  Beyond that budget, surplus losers
-    keep their current (valid, unrefined) match for that level; the count of
-    such dropped losers is RETURNED (summed over levels) so callers can
-    surface the degradation instead of silently capping (SURVEY "no silent
-    caps"; see artdeco_tpu.ops.matching telemetry).
+    ``valid`` gates the search to matches that survived the occlusion
+    distance filter: invalid queries keep their position untouched.  Every
+    downstream consumer of the match index map masks by the same validity,
+    so results are indistinguishable — and the border ring, where
+    out-of-view pixels pile up by the thousands (they clamp to [1, w-2]
+    and collide), stops flooding the collision-loser pass (BENCH r4
+    counted 14.3 M dropped losers, all from these piles).
+
+    Coverage: EXACT.  Collision losers drain through as many fixed-size
+    sparse passes as they need (a bounded ``while_loop`` over
+    ``_SPARSE_CHUNK``-sized chunks), so ``n_dropped`` — still returned and
+    surfaced by the telemetry — can only be nonzero if the loser count
+    exceeds chunk * ceil(N / chunk), i.e. never.
 
     Returns (p_new (n, 2) int32, n_dropped () int32).
     """
@@ -156,6 +161,7 @@ def refine_matches_dense_single(
     N = p1.shape[0]  # query count; need not equal h*w
     span = 2 * radius + 1
     chunk = min(_SPARSE_CHUNK, N)
+    max_passes = -(-N // chunk)
 
     D11b = D11.astype(jnp.bfloat16)
     D21b = D21.astype(jnp.bfloat16)
@@ -164,6 +170,10 @@ def refine_matches_dense_single(
     ids = jnp.arange(N, dtype=jnp.int32)
     u0 = p1[:, 0].astype(jnp.int32)
     v0 = p1[:, 1].astype(jnp.int32)
+    if valid is None:
+        q_ok = jnp.ones((N,), bool)
+    else:
+        q_ok = valid.reshape(N).astype(bool)
     max_score = jnp.full((N,), _FLT_MIN, jnp.float32)
     n_dropped = jnp.int32(0)
 
@@ -179,9 +189,12 @@ def refine_matches_dense_single(
     for d in range(dilation_max, 0, -1):
         rd = radius * d
 
-        # --- claim: one winner query per center position (lowest id) ---
+        # --- claim: one winner query per center position (lowest id);
+        # invalid queries never claim ---
         lin = v0 * w + u0
-        inv = jnp.full((hw,), N, jnp.int32).at[lin].min(ids)
+        lin_claim = jnp.where(q_ok, lin, hw)   # drop: out-of-range target
+        inv = jnp.full((hw,), N, jnp.int32).at[lin_claim].min(
+            ids, mode="drop")
 
         # --- dense pass over claimed winners ---
         winner = jnp.minimum(inv, N - 1)
@@ -195,7 +208,7 @@ def refine_matches_dense_single(
         # ONE take for (winner id, best score, best offset) per center
         ptab = jnp.stack([bc(inv), bestmap, bc(bomap)], axis=-1)  # (hw, 3)
         prow = jnp.take(ptab, lin, axis=0)  # (N, 3)
-        claimed = bci(prow[:, 0]) == ids
+        claimed = (bci(prow[:, 0]) == ids) & q_ok
         bs = prow[:, 1]
         bon = bci(prow[:, 2])
         bi = bon // span
@@ -205,61 +218,63 @@ def refine_matches_dense_single(
         u_new = jnp.where(upd, u0 - rd + bi * d, u0)
         v_new = jnp.where(upd, v0 - rd + bj * d, v0)
 
-        # --- collision losers: one unconditional sparse pass ---
+        # --- collision losers: drain in fixed-size sparse passes ---
         Wp = w + 2 * rd
         Prows = jnp.pad(
             D11b, ((rd, rd), (rd, rd), (0, 0))
         ).reshape((h + 2 * rd) * Wp, f)
 
-        active = ~claimed
-        # compact the first `chunk` active ids without a sort: prefix
-        # positions via cumsum, scatter ids into a fixed-size slot array.
-        # Two-phase priority: out-of-view pixels clamp to the border ring
-        # (iter_proj clips coords to [1, w-2]) and collide there by the
-        # thousands; those losers are occlusion-filtered invalid downstream,
-        # so INTERIOR losers take budget slots first and border pileups
-        # only fill what remains (a plain id-order compact let top-row
-        # border pixels exhaust the budget before any interior loser).
-        border = (u0 <= 1) | (u0 >= w - 2) | (v0 <= 1) | (v0 >= h - 2)
-        act_int = active & ~border
-        act_bor = active & border
-        pos_int = jnp.cumsum(act_int.astype(jnp.int32)) - 1
-        n_int = jnp.sum(act_int.astype(jnp.int32))
-        pos_bor = jnp.cumsum(act_bor.astype(jnp.int32)) - 1 + n_int
-        pos = jnp.where(act_int, pos_int, pos_bor)
-        tgt = jnp.where(active & (pos < chunk), pos, chunk)
-        idxs = jnp.full((chunk,), N, jnp.int32).at[tgt].min(ids, mode="drop")
-        valid = idxs < N
-        safe = jnp.minimum(idxs, N - 1)
-        # ONE packed take for (center uv, running max) of the losers
+        active = q_ok & ~claimed
+        # full compaction of active ids (cumsum positions, scatter into an
+        # N-slot array); the while_loop below walks it chunk by chunk so
+        # EVERY loser is processed exactly — no budget, no drops
+        pos = jnp.cumsum(active.astype(jnp.int32)) - 1
+        n_active = jnp.sum(active.astype(jnp.int32))
+        tgt = jnp.where(active, pos, N)
+        idxs_full = jnp.full((N,), N, jnp.int32).at[tgt].min(
+            ids, mode="drop")
+        # packed (center uv, running max) per query, consumed chunk-wise
         qtab = jnp.stack([bc(u0 | (v0 << 16)), max_score], axis=-1)  # (N, 2)
-        qrow = jnp.take(qtab, safe, axis=0)
-        iu = bci(qrow[:, 0]) & 0xFFFF
-        iv = bci(qrow[:, 0]) >> 16
-        ms_q = qrow[:, 1]
-        scores = _sparse_scores(
-            Prows, D21b[safe], iu, iv, span=span, d=d, f=f, w=w, Wp=Wp
-        )
-        bon = jnp.argmax(scores, axis=-1)
-        bsc = jnp.take_along_axis(scores, bon[:, None], axis=-1)[:, 0]
-        bi = bon // span
-        bj = bon % span
-        updq = valid & (bsc > ms_q)
-        nu = jnp.where(updq, iu - rd + (bi * d).astype(jnp.int32), iu)
-        nv = jnp.where(updq, iv - rd + (bj * d).astype(jnp.int32), iv)
-        ns = jnp.where(updq, bsc, ms_q)
-        # ONE packed (uv, score) row scatter
-        wtab = jnp.stack([bc(nu | (nv << 16)), ns], axis=-1)  # (chunk, 2)
         base = jnp.stack([bc(u_new | (v_new << 16)), max_score], axis=-1)
-        out = base.at[idxs].set(wtab, mode="drop")
+
+        def pass_body(state):
+            k, out = state
+            idxs = jax.lax.dynamic_slice_in_dim(idxs_full, k * chunk, chunk)
+            in_range = idxs < N
+            safe = jnp.minimum(idxs, N - 1)
+            qrow = jnp.take(qtab, safe, axis=0)
+            iu = bci(qrow[:, 0]) & 0xFFFF
+            iv = bci(qrow[:, 0]) >> 16
+            ms_q = qrow[:, 1]
+            scores = _sparse_scores(
+                Prows, D21b[safe], iu, iv, span=span, d=d, f=f, w=w, Wp=Wp
+            )
+            bon = jnp.argmax(scores, axis=-1)
+            bsc = jnp.take_along_axis(scores, bon[:, None], axis=-1)[:, 0]
+            bi = bon // span
+            bj = bon % span
+            updq = in_range & (bsc > ms_q)
+            nu = jnp.where(updq, iu - rd + (bi * d).astype(jnp.int32), iu)
+            nv = jnp.where(updq, iv - rd + (bj * d).astype(jnp.int32), iv)
+            ns = jnp.where(updq, bsc, ms_q)
+            wtab = jnp.stack([bc(nu | (nv << 16)), ns], axis=-1)
+            out = out.at[idxs].set(wtab, mode="drop")
+            return k + 1, out
+
+        def pass_cond(state):
+            k, _ = state
+            return (k < max_passes) & (k * chunk < n_active)
+
+        _, out = jax.lax.while_loop(pass_cond, pass_body,
+                                    (jnp.int32(0), base))
         uvm = bci(out[:, 0])
         u0 = uvm & 0xFFFF
         v0 = uvm >> 16
         max_score = out[:, 1]
-        # losers beyond the chunk budget keep their current match this level;
-        # count them so the degradation is observable (no silent caps)
+        # coverage is exact by construction; the counter stays for the
+        # telemetry surface (SURVEY "no silent caps")
         n_dropped = n_dropped + jnp.sum(
-            (active & (pos >= chunk)).astype(jnp.int32)
+            (active & (pos >= chunk * max_passes)).astype(jnp.int32)
         )
 
     return jnp.stack([u0, v0], axis=-1), n_dropped

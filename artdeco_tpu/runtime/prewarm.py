@@ -70,6 +70,24 @@ _queue: list = []
 _queue_lock = threading.Lock()
 _queue_cv = threading.Condition(_queue_lock)
 _worker: threading.Thread | None = None
+_all_events: list = []
+
+
+def wait_all(timeout: float = None) -> bool:
+    """Block until every compile submitted so far has finished.
+
+    The bench host has ONE core: a background compile running mid-stream
+    steals it from the tracking thread wholesale (BENCH r4's 26-31 s frame
+    spikes were exactly the gn-ladder prewarms executing DURING frames
+    56-60).  Draining the queue before streaming starts turns those spikes
+    into upfront warm-up time the steady-state window never sees.
+    Returns False on timeout."""
+    deadline = None if timeout is None else time.time() + timeout
+    for e in list(_all_events):
+        left = None if deadline is None else max(0.0, deadline - time.time())
+        if not e.wait(left):
+            return False
+    return True
 
 
 def _worker_loop():
@@ -93,6 +111,7 @@ def submit_compile(name: str, lowerable, verbose: bool = True,
     done = threading.Event()
     with _queue_cv:
         item = (name, lowerable, verbose, done)
+        _all_events.append(done)
         if front:
             _queue.insert(0, item)
         else:
@@ -163,7 +182,7 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
         return trk.track_step.lower(
             a3, a1, a3, a1, sds((), jnp.int32),
             a3, a1, a3, a1, sds((), jnp.int32),
-            sds((hw,), jnp.int32), sds((hw, 1), jnp.bool_), a1, a1,
+            sds((1, hw), jnp.int32), sds((1, hw, 1), jnp.bool_), a1, a1,
             sds((8,), f32), sds((8,), f32), sds((3, 3), f32), sds((), f32),
             float(system.frontend.tracker.min_displacement), (h, w), tcfg,
             thres_keyframe=float(system.frontend.tracker.thres_keyframe),
@@ -188,6 +207,22 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
 
     jobs.append(("edge_post[b=1]", low_edge_post(1)))
 
+    # ---- backend dense-point jits (per mapper message) ----------------------
+    from artdeco_tpu.vslam import backend as BK
+
+    def low_dense_point():
+        return BK._dense_point_jit.lower(
+            sds((hw,), jnp.int32), sds((hw, 3), f32), sds((8,), f32),
+            sds((8,), f32), sds((3, 3), f32), h, w,
+        )
+    jobs.append(("dense_point", low_dense_point))
+
+    def low_kf_point():
+        return BK._keyframe_point_jit.lower(
+            sds((hw, 3), f32), sds((hw, 1), f32), sds((3, 3), f32), h, w,
+        )
+    jobs.append(("keyframe_point", low_kf_point))
+
     # ---- mapper: burst (both schedules), densify, insert, render ----------
     sm = system.scene_model
     Wm, Hm = sm.width, sm.height
@@ -201,27 +236,35 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
     mlp_opt_s = _sds_like(sm.mlp_opt)
     pool_s = _sds_like(sm.pool)
     def low_render():
-        return SM.render_core_jit.lower(
-            slab_s, _sds_like(sm.gfeat.val), mlp_s, sds((4, 4), f32),
-            sds((3, 4), f32), sds((3, 3), f32), Wm, Hm, sds((3,), f32),
+        return SM.render_from_pool_jit.lower(
+            slab_s, _sds_like(sm.gfeat.val), mlp_s, pool_s,
+            sds((), jnp.int32), sds((3, 3), f32), Wm, Hm, sds((3,), f32),
             mcfg.sh_degree, mcfg.low_pass_filter_eps, mcfg.cluster_capacity,
             train_len=sm._train_len,
         )
     jobs.append(("render_core", low_render))
 
-    budget = mcfg.new_budget // len(SM.LODS)
-    for lod in SM.LODS:
-        b_lod = min(budget, (Hm // lod) * (Wm // lod))
+    from artdeco_tpu.mapper import keyframe as KFm
 
-        def low_dens(lod=lod, b_lod=b_lod):
-            return SM.densify_candidates_core.lower(
-                sds((3, Hm, Wm), f32), sds((3, Hm, Wm), f32),
-                sds((1, Hm, Wm), f32), sds((), jnp.bool_),
-                sds((1, h, w), f32), sds((1, h, w), f32),
-                sds((3, 3), f32), sds((3,), f32), float(sm.f),
-                sds((2,), jnp.uint32), lod, Wm, Hm, b_lod, mcfg,
-            )
-        jobs.append((f"densify[lod={lod}]", low_dens))
+    def low_pyramids():
+        return KFm._build_pyramids_jit.lower(
+            sds((3, Hm, Wm), f32), sds((h, w, 3), f32), sds((h, w), f32),
+            mcfg.pyr_levels, Hm, Wm,
+        )
+    jobs.append(("kf_pyramids", low_pyramids))
+
+    budget = mcfg.new_budget // len(SM.LODS)
+
+    def low_dens():
+        return SM.densify_all_lods_core.lower(
+            sds((3, Hm, Wm), f32), sds((3, Hm, Wm), f32),
+            sds((1, Hm, Wm), f32), sds((), jnp.bool_),
+            sds((1, h, w), f32), sds((1, h, w), f32),
+            pool_s, sds((), jnp.int32), sds((), f32),
+            sds((2,), jnp.uint32), Wm, Hm, budget, mcfg,
+            (mcfg.sh_degree + 1) ** 2, mcfg.local_feat_dim,
+        )
+    jobs.append(("densify[all-lods]", low_dens))
 
     b_total = sum(
         min(budget, (Hm // lod) * (Wm // lod)) for lod in SM.LODS

@@ -22,7 +22,24 @@ import numpy as np
 
 from artdeco_tpu.geometry import lie
 from artdeco_tpu.mapper.config import MapperConfig
-from artdeco_tpu.mapper.keyframe import make_host_keyframe
+from artdeco_tpu.mapper.keyframe import make_device_keyframe
+
+
+def _se3_w2c_matrix_np(T_wc7: np.ndarray) -> np.ndarray:
+    """4x4 world->cam from a 7-vector [t, q_xyzw] cam->world pose, pure
+    numpy (the jnp lie chain here was ~2 eager dispatches of ~9 ms each on
+    the per-mapper-frame path)."""
+    t = np.asarray(T_wc7[:3], np.float32)
+    x, y, z, w = np.asarray(T_wc7[3:7], np.float64)
+    R = np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+    out = np.eye(4, dtype=np.float32)
+    out[:3, :3] = R.T                 # inverse rotation
+    out[:3, 3] = -R.T @ t             # inverse translation
+    return out
 from artdeco_tpu.mapper.scene_model import SceneModel
 from artdeco_tpu.vslam.backend import Backend
 from artdeco_tpu.vslam.frontend import Frontend
@@ -354,7 +371,17 @@ class System:
         self.related_frames.setdefault(last_kf_index, []).append(
             self.mapper_index
         )
-        if img_map is not None:
+        # image source priority: the frame's device-resident SLAM tensor
+        # (zero-copy, when map res == slam res), then the native loader's
+        # host cache, then a dataset re-decode (the reference re-decodes
+        # every image at map res, run_system.py:163)
+        same_res = (self.dataset.H_map == self.dataset.H_slam
+                    and self.dataset.W_map == self.dataset.W_slam)
+        if same_res and m.get("img_dev") is not None:
+            img_map = m["img_dev"]
+            info = dict(self.dataset.infos[
+                self.dataset.image_name_list[frame_id]])
+        elif img_map is not None:
             info = dict(self.dataset.infos[
                 self.dataset.image_name_list[frame_id]])
         elif (cached := self._map_cache.pop(frame_id, None)) is not None:
@@ -366,11 +393,9 @@ class System:
             img_map = self.dataset.transform.to_map(original_img)
 
         T_WC = np.asarray(m["T_WC"], np.float32)
-        Rt_w2c = np.asarray(
-            lie.se3_matrix(lie.se3_inv(np.asarray(T_WC[:7])))
-        )
+        Rt_w2c = _se3_w2c_matrix_np(T_WC[:7])
 
-        kf = make_host_keyframe(
+        kf = make_device_keyframe(
             index=self.mapper_index,
             global_frame_id=frame_id,
             image=img_map,
@@ -385,7 +410,7 @@ class System:
         self.mapper_meta.append(dict(
             last_keyframe_index=last_kf_index,
             is_slam_keyframe=m["is_slam_keyframe"],
-            T_CkC=m["T_CkC"],
+            T_CkC=None if m["T_CkC"] is None else np.asarray(m["T_CkC"]),
         ))
 
         if m["is_slam_keyframe"] and frame_id > 0:
@@ -433,9 +458,9 @@ class System:
         )
         self.scene_model.set_keyframe_poses_masked(new_Rt, mask)
         if getattr(self.args, "rigid_transform_gaussians", True):
-            self.scene_model.rigid_transform_gs(
-                np.asarray(old_c2ws[:n]), np.asarray(new_c2ws[:n])
-            )
+            # capacity-shaped device arrays pass straight through (unused
+            # rows are identity) — no d2h pull + re-upload per loop closure
+            self.scene_model.rigid_transform_gs(old_c2ws, new_c2ws)
 
     # -- main loop ----------------------------------------------------------
     def run(self, max_frames: Optional[int] = None, progress: bool = True,

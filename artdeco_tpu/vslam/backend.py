@@ -8,8 +8,10 @@ queue_B2M payload built at Backend.py:118-147).
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -18,6 +20,67 @@ from artdeco_tpu.vslam.frame import Frame, KeyframeStyle
 from artdeco_tpu.vslam.global_opt import FactorGraph
 from artdeco_tpu.vslam.keyframes import KeyframeStore
 from artdeco_tpu.vslam.retrieval import RetrievalDatabase
+
+
+# ---------------------------------------------------------------------------
+# Jitted hot-path kernels.  Every eager jnp op on the host path costs ~9 ms
+# of blocking tunnel RPC on the target backend (measured, scripts/
+# profile_refine.py round); the per-keyframe/mapper-frame math below is
+# therefore fused into single jit dispatches (~0.02 ms each, async).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def _dense_point_jit(idx, Xkk, Twk, Twl, K, height: int, width: int,
+                     valid_pixel: float = 3.0):
+    """compute_dense_point math as ONE device program (Backend.py:150-193).
+
+    Returns (point (H, W, 3), conf (H, W)) — device arrays."""
+    H, W = height, width
+    Tlk = lie.sim3_mul(lie.sim3_inv(Twl), Twk)
+
+    Xkk_calib = proj.constrain_points_to_ray((H, W), Xkk, K)
+    Xkk_m = Xkk_calib[idx]
+    Xkl = lie.sim3_act(Tlk, Xkk_m)
+
+    z = jnp.maximum(Xkl[:, 2:3], 1e-9)
+    u = K[0, 0] * Xkl[:, 0:1] / z + K[0, 2]
+    v = K[1, 1] * Xkl[:, 1:2] / z + K[1, 2]
+    uv = proj.get_pixel_coords((H, W))
+    resi = jnp.linalg.norm(jnp.concatenate([u, v], -1) - uv, axis=-1)
+    conf_valid = jnp.where(
+        resi < valid_pixel, 1.0, 1.0 / (resi - valid_pixel + 1.0)
+    )
+
+    Xkw = lie.sim3_act(Twk, Xkk_m)
+    T_kw_se3 = lie.se3_inv(Twk[:7])
+    Xk_map_matched = lie.se3_act(T_kw_se3, Xkw)
+    Xk_map_default = lie.se3_act(T_kw_se3, lie.sim3_act(Twk, Xkk_calib))
+
+    point = jnp.asarray(Xk_map_default).at[idx].set(Xk_map_matched)
+    conf = jnp.zeros((H * W,)).at[idx].set(conf_valid)
+    return point.reshape(H, W, 3), conf.reshape(H, W)
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def _keyframe_point_jit(Xkk, avg_conf, K, height: int, width: int):
+    """First-keyframe mapper payload (no last keyframe / no matches):
+    ray-constrained pointmap + thresholded confidence."""
+    point = proj.constrain_points_to_ray((height, width), Xkk, K)
+    conf = (avg_conf.reshape(-1) > 1.5).astype(jnp.float32)
+    return point.reshape(height, width, 3), conf.reshape(height, width)
+
+
+@jax.jit
+def _rel_sim3_jit(T_WCl, T_WCk):
+    return lie.sim3_mul(lie.sim3_inv(T_WCl), T_WCk)
+
+
+@jax.jit
+def _cross_writeback_jit(T_WCk, T_WCl, Xlk):
+    """Last-keyframe pointmap refresh from the cross-prediction
+    (Backend.py:234-243 tail) in one dispatch."""
+    T_ClCk = lie.sim3_mul(lie.sim3_inv(T_WCl), T_WCk)
+    return lie.sim3_act(T_ClCk, Xlk)
 
 
 class Backend:
@@ -137,6 +200,7 @@ class Backend:
                 is_test=work["is_test"], is_important=work["is_important"],
                 loop_keyframe_index=work["lc_inds"], is_slam_keyframe=True,
                 focal=work["focal"], timestamp=work["timestamp"],
+                img_dev=keyframe.img,
             )
         if kind == "keyframe":
             return self.prepare_for_mapper(
@@ -145,6 +209,7 @@ class Backend:
                 is_test=work["is_test"], is_important=work["is_important"],
                 loop_keyframe_index=work["lc_inds"], is_slam_keyframe=True,
                 focal=work["focal"], timestamp=work["timestamp"],
+                img_dev=work["keyframe"].img,
             )
         if kind == "mapper_frame":
             frame: Frame = work["frame"]
@@ -160,6 +225,7 @@ class Backend:
                 frame, last_keyframe, work["kf_index"], idx_k2l,
                 is_test=work["is_test"], is_important=work["is_important"],
                 focal=work["focal"], timestamp=work["timestamp"],
+                img_dev=frame.img,
             )
         return None
 
@@ -231,14 +297,15 @@ class Backend:
         self.factor_graph.solve_GN_calib()
         t0 = self._t("bkd.solve_GN", t0)
 
-        # refresh last keyframe pointmap with cross-predicted points
+        # refresh last keyframe pointmap with cross-predicted points —
+        # the sim3 chain + fusion ride in jitted dispatches (an eager chain
+        # here measured 64 ms/keyframe on the tunneled backend)
         keyframe = self.keyframes[idx]
         last_keyframe = self.keyframes[idx - 1] if idx > 0 else None
         if last_keyframe is not None and Xlk is not None:
             T_WCk = jnp.asarray(self.keyframes.T_WC[idx])
             T_WCl = jnp.asarray(self.keyframes.T_WC[idx - 1])
-            T_ClCk = lie.sim3_mul(lie.sim3_inv(T_WCl), T_WCk)
-            Xll = lie.sim3_act(T_ClCk, Xlk)
+            Xll = _cross_writeback_jit(T_WCk, T_WCl, Xlk)
             last_keyframe = last_keyframe.update_pointmap(Xll, Clk)
             self.keyframes[idx - 1] = last_keyframe
         self._t("bkd.writeback", t0)
@@ -275,65 +342,33 @@ class Backend:
     # -- dense points for the mapper (Backend.py:150-193) -------------------
     def compute_dense_point(self, keyframe: Frame, last_keyframe: Frame,
                             idx_k2l, valid_pixel: float = 3.0):
-        H, W = self.H_slam, self.W_slam
-        idx = jnp.asarray(idx_k2l)[0]
-        Xkk = keyframe.X_canon
-        Twk = keyframe.T_WC
-        Twl = last_keyframe.T_WC
-        Tlk = lie.sim3_mul(lie.sim3_inv(Twl), Twk)
-
-        Xkk_calib = proj.constrain_points_to_ray((H, W), Xkk, self.K_slam)
-        Xkk_m = Xkk_calib[idx]
-        Xkl = lie.sim3_act(Tlk, Xkk_m)
-
-        # reprojection residual against the matched pixels in l
-        z = jnp.maximum(Xkl[:, 2:3], 1e-9)
-        u = self.K_slam[0, 0] * Xkl[:, 0:1] / z + self.K_slam[0, 2]
-        v = self.K_slam[1, 1] * Xkl[:, 1:2] / z + self.K_slam[1, 2]
-        uv = proj.get_pixel_coords((H, W))
-        resi = jnp.linalg.norm(
-            jnp.concatenate([u, v], -1) - uv, axis=-1
-        )
-        conf_valid = jnp.where(
-            resi < valid_pixel, 1.0, 1.0 / (resi - valid_pixel + 1.0)
-        )
-
-        # express matched points in the keyframe's SE(3) frame (scale-free
-        # map coordinates; Backend.py:173-178)
-        Xkw = lie.sim3_act(Twk, Xkk_m)
-        T_kw_se3 = lie.se3_inv(Twk[:7])
-        Xk_map_matched = lie.se3_act(T_kw_se3, Xkw)
-        Xk_map_default = lie.se3_act(T_kw_se3, lie.sim3_act(Twk, Xkk_calib))
-
-        # scatter back to keyframe pixel order (Backend.py:180-190)
-        point = jnp.asarray(Xk_map_default).at[idx].set(Xk_map_matched)
-        conf = jnp.zeros((H * W,)).at[idx].set(conf_valid)
-        return (
-            np.asarray(point).reshape(H, W, 3),
-            np.asarray(conf).reshape(H, W),
+        """One jitted dispatch; returns DEVICE (H, W, 3) point + (H, W) conf
+        (the mapper ingests device arrays — see mapper/keyframe.py)."""
+        return _dense_point_jit(
+            jnp.asarray(idx_k2l)[0], keyframe.X_canon, keyframe.T_WC,
+            last_keyframe.T_WC, self.K_slam, self.H_slam, self.W_slam,
+            valid_pixel,
         )
 
     # -- mapper message (Backend.py:118-147) ---------------------------------
     def prepare_for_mapper(self, keyframe: Frame, last_keyframe, kf_index,
                            idx_k2l, is_test=False, is_important=False,
                            loop_keyframe_index=None, is_slam_keyframe=False,
-                           focal=None, timestamp=0.0) -> dict:
+                           focal=None, timestamp=0.0, img_dev=None) -> dict:
+        """point_map / point_conf / T_CkC in the message are DEVICE arrays
+        (the reference marshals CPU tensors through queues, Backend.py:
+        129-146 — here everything stays in HBM; only tiny scalars are host).
+        ``img_dev``: the keyframe's SLAM-res device image, so the mapper can
+        skip the map-res host decode + upload when resolutions match."""
         if last_keyframe is None or idx_k2l is None:
-            X_init = keyframe.X_canon
-            point = np.asarray(
-                proj.constrain_points_to_ray(
-                    (self.H_slam, self.W_slam), X_init, self.K_slam
-                )
-            ).reshape(self.H_slam, self.W_slam, 3)
-            conf = (
-                np.asarray(keyframe.get_average_conf()) > 1.5
-            ).astype(np.float32).reshape(self.H_slam, self.W_slam)
+            point, conf = _keyframe_point_jit(
+                keyframe.X_canon, keyframe.get_average_conf(),
+                self.K_slam, self.H_slam, self.W_slam,
+            )
             T_CkC = None
         else:
             point, conf = self.compute_dense_point(keyframe, last_keyframe, idx_k2l)
-            T_CkC = np.asarray(lie.sim3_mul(
-                lie.sim3_inv(last_keyframe.T_WC), keyframe.T_WC
-            ))
+            T_CkC = _rel_sim3_jit(last_keyframe.T_WC, keyframe.T_WC)
         return {
             "is_test": is_test,
             "is_important": is_important,
@@ -347,4 +382,5 @@ class Backend:
             "T_CkC": T_CkC,
             "last_keyframe_index": kf_index,
             "focal": focal,
+            "img_dev": img_dev,
         }

@@ -18,6 +18,23 @@ import jax.numpy as jnp
 from artdeco_tpu.geometry import lie
 
 
+@jax.jit
+def _fuse_pointmap_jit(X0, C0, N0, X, C):
+    first = N0 == 0
+    denom = jnp.where(first, 1.0, C0 + C)
+    X_new = jnp.where(first, X, (C0 * X0 + C * X) / jnp.maximum(denom, 1e-12))
+    C_new = jnp.where(first, C, C0 + C)
+    return X_new, C_new
+
+
+@jax.jit
+def _avg_conf_jit(C, N):
+    return C / jnp.maximum(N, 1).astype(C.dtype)
+
+
+_FRAME_ZEROS: dict = {}
+
+
 class Mode(enum.IntEnum):
     TRACKING = 0
     RELOC = 1
@@ -60,30 +77,36 @@ class Frame:
         n = h * w
         if T_WC is None:
             T_WC = lie.sim3_identity()
+        # immutable zero-state buffers cached per shape: eagerly building
+        # them costs 3 host round-trips (~9 ms each) PER TRACKED FRAME, and
+        # jax arrays are immutable so sharing across frames is safe
+        key = (n, str(img.dtype))
+        zeros = _FRAME_ZEROS.get(key)
+        if zeros is None:
+            zeros = (jnp.zeros((n, 3), img.dtype), jnp.zeros((n, 1), img.dtype),
+                     jnp.zeros((), jnp.int32))
+            _FRAME_ZEROS[key] = zeros
         return Frame(
             img=img,
             T_WC=T_WC,
-            X_canon=jnp.zeros((n, 3), img.dtype),
-            C=jnp.zeros((n, 1), img.dtype),
-            N=jnp.zeros((), jnp.int32),
+            X_canon=zeros[0],
+            C=zeros[1],
+            N=zeros[2],
             frame_id=frame_id,
             frame_time=frame_time,
         )
 
     def update_pointmap(self, X: jax.Array, C: jax.Array) -> "Frame":
-        """Confidence-weighted fusion (ImageFrame.update_pointmap)."""
-        first = self.N == 0
-        denom = jnp.where(first, 1.0, self.C + C)
-        X_new = jnp.where(
-            first, X, (self.C * self.X_canon + C * X) / jnp.maximum(denom, 1e-12)
-        )
-        C_new = jnp.where(first, C, self.C + C)
+        """Confidence-weighted fusion (ImageFrame.update_pointmap) — one
+        jitted dispatch (run eagerly this is ~6 host round-trips of ~9 ms
+        each on the tunneled backend)."""
+        X_new, C_new = _fuse_pointmap_jit(self.X_canon, self.C, self.N, X, C)
         return dataclasses.replace(
             self, X_canon=X_new, C=C_new, N=self.N + 1
         )
 
     def get_average_conf(self) -> jax.Array:
-        return self.C / jnp.maximum(self.N, 1).astype(self.C.dtype)
+        return _avg_conf_jit(self.C, self.N)
 
     @property
     def hw(self):

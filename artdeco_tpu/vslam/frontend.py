@@ -130,7 +130,7 @@ class CameraTracker:
             trk.track_step(
                 Xff, Cff, frame.X_canon, frame.C, frame.N,
                 Xkf, Ckf, keyframe.X_canon, keyframe.C, keyframe.N,
-                idx_f2k[0], valid_match_k[0], Qff, Qkf,
+                idx_f2k, valid_match_k, Qff, Qkf,
                 frame.T_WC, keyframe.T_WC, self.K_slam,
                 jnp.asarray(self.last_dist, jnp.float32),
                 float(self.min_displacement),

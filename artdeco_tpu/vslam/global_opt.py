@@ -481,6 +481,17 @@ def gauss_newton_calib_sparse(
     return T_out
 
 
+@partial(jax.jit, static_argnames=("h", "w"))
+def _gn_prep_jit(dev_X, dev_C, slot_of, used, K, h: int, w: int):
+    """Solver input prep: gather pose pointmaps from the device mirror and
+    ray-constrain them, as one program."""
+    from artdeco_tpu.geometry import projection as proj
+
+    Xs = proj.constrain_points_to_ray((h, w), dev_X[slot_of], K)
+    Cs = jnp.where(used[:, None, None], dev_C[slot_of], -1.0)
+    return Xs, Cs
+
+
 # ---------------------------------------------------------------------------
 # Host-side factor graph
 # ---------------------------------------------------------------------------
@@ -521,9 +532,14 @@ class FactorGraph:
         # background-compiled (P, E) solver variants (see _prewarm_solver)
         self._warmed: set = set()
         self.timers: dict = {}   # substage wall-clock [sum_s, n]
-        # warm the first few ladder rungs up front: a rung compiled on
-        # demand lands ~10 s of stall on the keyframe that crosses it
-        for rung in ((32, 64), (32, 128), (64, 128), (64, 256)):
+        # warm the ladder rungs a ~100-frame stream can reach up front: a
+        # rung compiled on demand (or even in the background — the bench
+        # host has ONE core, so a background compile steals it from the
+        # tracking thread) lands ~10-30 s of stall on the keyframe that
+        # crosses it.  runtime/prewarm.wait_all() drains these before
+        # streaming starts.
+        for rung in ((32, 64), (32, 128), (32, 256), (32, 512),
+                     (64, 128), (64, 256), (64, 512)):
             self._prewarm_solver(*rung)
 
     def _t(self, key: str, t0: float):
@@ -642,18 +658,35 @@ class FactorGraph:
                  != int(self.keyframes.version[k])]
         if stale:
             # payloads are already device-resident in the store: stack +
-            # scatter is a pure on-device move, no host hop
+            # scatter is a pure on-device move, no host hop; one jitted
+            # dispatch per array (eager stacks/divides cost ~9 ms each)
             slots = jnp.asarray([self._kf_slot[k] for k in stale])
-            Xrows = jnp.stack([self.keyframes.X_dev(k) for k in stale])
-            Crows = jnp.stack([
-                self.keyframes.C_dev(k)
-                / jnp.maximum(self.keyframes.N_dev(k), 1).astype(jnp.float32)
-                for k in stale
-            ])
+            Xrows, Crows = self._stack_stale(
+                tuple(self.keyframes.X_dev(k) for k in stale),
+                tuple(self.keyframes.C_dev(k) for k in stale),
+                tuple(self.keyframes.N_dev(k) for k in stale),
+            )
             self._dev_X = self._scatter_rows(self._dev_X, slots, Xrows)
             self._dev_C = self._scatter_rows(self._dev_C, slots, Crows)
             for k in stale:
                 self._slot_version[k] = int(self.keyframes.version[k])
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("E",))
+    def _slice_edges(idx, vm, q, E: int):
+        """The three edge-payload prefix slices for the solver, fused into
+        one dispatch (eager [:E] slices cost ~9 ms each)."""
+        return idx[:E], vm[:E], q[:E][..., None]
+
+    @staticmethod
+    @jax.jit
+    def _stack_stale(Xs: tuple, Cs: tuple, Ns: tuple):
+        Xrows = jnp.stack(Xs)
+        Crows = jnp.stack([
+            C / jnp.maximum(N, 1).astype(jnp.float32)
+            for C, N in zip(Cs, Ns)
+        ])
+        return Xrows, Crows
 
     @staticmethod
     @partial(jax.jit, static_argnames=("q_conf",))
@@ -680,6 +713,24 @@ class FactorGraph:
     # task 3: cut the padded cascades).
     MATCH_PAD_PAIRS = 4
 
+    @staticmethod
+    @jax.jit
+    def _concat0(*xs):
+        """Batch-concat as one jitted dispatch (cached per arg count —
+        eager jnp.concatenate costs ~9 ms of blocking host RPC each)."""
+        return jnp.concatenate(xs, axis=0)
+
+    @staticmethod
+    @jax.jit
+    def _gather_pair_rows(idx_i2j, idx_j2i, vm_j, vm_i, Qj, Qi, kj):
+        """Select kept pairs + stack both directions for the edge-store
+        scatter, in ONE dispatch.  Rows [0, pad): i->j, [pad, 2*pad): j->i."""
+        return (
+            jnp.concatenate([idx_i2j[kj], idx_j2i[kj]], axis=0),
+            jnp.concatenate([vm_j[kj, :, 0], vm_i[kj, :, 0]], axis=0),
+            jnp.concatenate([Qj[kj], Qi[kj]], axis=0),
+        )
+
     def add_factors(self, ii: list, jj: list, min_match_frac: float,
                     is_reloc: bool = False) -> bool:
         """Symmetric-match candidate edges; keep those with two-way match
@@ -698,17 +749,17 @@ class FactorGraph:
         ii = list(ii) + [ii[-1]] * (pad_to - n_real)
         jj = list(jj) + [jj[-1]] * (pad_to - n_real)
 
-        feat_i = jnp.concatenate(
-            [self.keyframes.get_embedding(i)[0] for i in ii], axis=0
+        feat_i = self._concat0(
+            *[self.keyframes.get_embedding(i)[0] for i in ii]
         )
-        pos_i = jnp.concatenate(
-            [self.keyframes.get_embedding(i)[1] for i in ii], axis=0
+        pos_i = self._concat0(
+            *[self.keyframes.get_embedding(i)[1] for i in ii]
         )
-        feat_j = jnp.concatenate(
-            [self.keyframes.get_embedding(j)[0] for j in jj], axis=0
+        feat_j = self._concat0(
+            *[self.keyframes.get_embedding(j)[0] for j in jj]
         )
-        pos_j = jnp.concatenate(
-            [self.keyframes.get_embedding(j)[1] for j in jj], axis=0
+        pos_j = self._concat0(
+            *[self.keyframes.get_embedding(j)[1] for j in jj]
         )
         (idx_i2j, idx_j2i, vm_j, vm_i, Qii, Qjj, Qji, Qij) = (
             self.runner.match_symmetric(feat_i, pos_i, feat_j, pos_j,
@@ -753,15 +804,15 @@ class FactorGraph:
         dst[:nk] = base + np.arange(nk)
         dst[pad_to: pad_to + nk] = base + nk + np.arange(nk)
         rows = jnp.asarray(dst)
+        idx_rows, vm_rows, q_rows = self._gather_pair_rows(
+            idx_i2j, idx_j2i, vm_j, vm_i, Qj, Qi, kj
+        )
         self._dev_edges["idx"] = self._scatter_rows(
-            self._dev_edges["idx"], rows,
-            jnp.concatenate([idx_i2j[kj], idx_j2i[kj]], axis=0))
+            self._dev_edges["idx"], rows, idx_rows)
         self._dev_edges["vm"] = self._scatter_rows(
-            self._dev_edges["vm"], rows,
-            jnp.concatenate([vm_j[kj, :, 0], vm_i[kj, :, 0]], axis=0))
+            self._dev_edges["vm"], rows, vm_rows)
         self._dev_edges["q"] = self._scatter_rows(
-            self._dev_edges["q"], rows,
-            jnp.concatenate([Qj[kj], Qi[kj]], axis=0))
+            self._dev_edges["q"], rows, q_rows)
         self.e_ii[base: base + nk] = ii_arr[kept]
         self.e_jj[base: base + nk] = jj_arr[kept]
         self.e_ii[base + nk: base + 2 * nk] = jj_arr[kept]
@@ -878,13 +929,12 @@ class FactorGraph:
             used[i] = True
 
         # gather pose pointmaps from the device mirror (HBM-local) and
-        # constrain to rays on device (global_opt.py:189-191)
-        gather = jnp.asarray(slot_of)
-        Xs_j = proj.constrain_points_to_ray(
-            (self.h, self.w), self._dev_X[gather], jnp.asarray(self.K)
+        # constrain to rays on device (global_opt.py:189-191) — one fused
+        # dispatch (the eager gather + constrain chain was ~5 host RPCs)
+        Xs_j, Cs_j = _gn_prep_jit(
+            self._dev_X, self._dev_C, jnp.asarray(slot_of),
+            jnp.asarray(used), jnp.asarray(self.K), self.h, self.w,
         )
-        Cs_j = jnp.where(jnp.asarray(used)[:, None, None],
-                         self._dev_C[gather], -1.0)
 
         E = self._pow2(n_e, lo=64)
         ii_p = remap_arr[self.e_ii[:E]].astype(np.int32)
@@ -894,13 +944,15 @@ class FactorGraph:
             gauss_newton_calib if P <= self.DENSE_POSE_LIMIT
             else gauss_newton_calib_sparse
         )
+        idx_E, vm_E, q_E = self._slice_edges(
+            self._dev_edges["idx"], self._dev_edges["vm"],
+            self._dev_edges["q"], min(E, self._dev_ecap),
+        )
         t0 = self._t("gn.prep", t0)
         T_new = solver(
             jnp.asarray(T), Xs_j, Cs_j, jnp.asarray(self.K),
             jnp.asarray(ii_p), jnp.asarray(jj_p),
-            self._dev_edges["idx"][:E],
-            self._dev_edges["vm"][:E],
-            self._dev_edges["q"][:E][..., None],
+            idx_E, vm_E, q_E,
             jnp.asarray(self.e_valid[:E]), jnp.asarray(used),
             self.h, self.w,
             **self._solver_statics(),

@@ -322,6 +322,10 @@ def track_step(
     Returns (fX', fC', fN', T_WCf', T_CkCf, K', kX', kC', kN',
     flags (5,) f32 = [match_frac, ok, is_kf, is_kf_map, dist_q]).
     """
+    # accept the matcher's (1, HW[, 1]) batch layout directly — host-side
+    # [0] slices are eager dispatches (~9 ms each per tracked frame)
+    idx_f2k = idx_f2k.reshape(-1)
+    vmk = vmk.reshape(-1, 1)
     # frame pointmap fusion (Frame.update_pointmap semantics)
     first = fN == 0
     denom = jnp.where(first, 1.0, fC + Cff)

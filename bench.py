@@ -247,6 +247,15 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
         init_proba_scaler=4.0,
     )
     system = System(args, config, dataset, runner, mapper_cfg=mcfg)
+    # drain ALL background compiles before streaming: the host has one CPU
+    # core, so a compile running mid-stream steals it from the tracking
+    # thread wholesale (r4's 26-31 s frame spikes were gn-ladder prewarms
+    # executing during frames 56-60, not waiting on them)
+    from artdeco_tpu.runtime import prewarm
+
+    t0 = time.time()
+    prewarm.wait_all()
+    log(f"prewarm drained in {time.time() - t0:.0f}s")
     # Overlapped schedule (the shipped default, runtime/system.py): the
     # mapper half drains on a worker thread while the main thread tracks.
     # Steady-state time is WALL CLOCK from the first post-warmup frame to

@@ -158,7 +158,7 @@ def main():
         lambda: trk.track_step(
             Xff, Cff, fr.X_canon, fr.C, fr.N,
             Xkf, Ckf, keyframe.X_canon, keyframe.C, keyframe.N,
-            idx_f2k[0], vmk[0], Qff, Qkf,
+            idx_f2k, vmk, Qff, Qkf,
             fr.T_WC, keyframe.T_WC, tracker.K_slam,
             jnp.asarray(0.0, jnp.float32),
             float(tracker.min_displacement), (h, w), tracker.cfg,

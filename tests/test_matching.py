@@ -268,39 +268,77 @@ def test_cascade_batch_alternation_regression():
     np.testing.assert_array_equal(np.asarray(outs[1]), np.asarray(outs[3]))
 
 
-def test_refine_dense_overflow_counter():
-    """Collision-loser budget overflow must be observable, not silent
-    (VERDICT r3 weak #4): when more losers than the per-level budget exist,
-    the dropped count is reported via the telemetry accumulator, and the
-    surviving matches still come from the valid search space."""
+def test_refine_dense_losers_fully_drained():
+    """Collision losers beyond one chunk budget must be PROCESSED, not
+    dropped (VERDICT r4 task 3: the budget overflow counter must read 0):
+    the sparse pass drains losers in as many fixed-size passes as needed,
+    and the result matches a run whose single chunk covers everything."""
     from artdeco_tpu.ops import refine_dense
 
+    rng = np.random.RandomState(3)
+    h, w, f = 20, 24, 8
+    n = h * w  # 480 queries
+    D11 = jnp.asarray(rng.randn(h, w, f).astype(np.float32)).astype(jnp.bfloat16)
+    D21 = jnp.asarray(rng.randn(n, f).astype(np.float32)).astype(jnp.bfloat16)
+    # all queries collide on ONE center: 479 losers >> a 32-slot chunk
+    p1 = jnp.asarray(np.full((n, 2), 7, np.int32))
+
     old_chunk = refine_dense._SPARSE_CHUNK
-    refine_dense._SPARSE_CHUNK = 32  # force overflow at test scale
     matching.reset_refine_telemetry()
     try:
-        rng = np.random.RandomState(3)
-        h, w, f = 20, 24, 8
-        n = h * w  # 480 queries
-        D11 = jnp.asarray(rng.randn(h, w, f).astype(np.float32))
-        D21 = jnp.asarray(rng.randn(n, f).astype(np.float32))
-        # all queries collide on ONE center: 479 losers >> 32 budget
-        p1 = jnp.asarray(np.full((n, 2), 7, np.int64))
-        out, dropped = refine_dense.refine_matches_dense_single(
-            D11.astype(jnp.bfloat16), D21.astype(jnp.bfloat16),
-            jnp.asarray(p1, jnp.int32), radius=2, dilation_max=2)
-        assert int(dropped) > 0
-        out = np.asarray(out)
+        refine_dense._SPARSE_CHUNK = 32   # force multi-pass draining
+        out_small, dropped_small = refine_dense.refine_matches_dense_single(
+            D11, D21, p1, radius=2, dilation_max=2)
+        refine_dense._SPARSE_CHUNK = 4096  # everything in one pass
+        out_big, dropped_big = refine_dense.refine_matches_dense_single(
+            D11, D21, p1, radius=2, dilation_max=2)
+        assert int(dropped_small) == 0 and int(dropped_big) == 0
+        np.testing.assert_array_equal(np.asarray(out_small),
+                                      np.asarray(out_big))
+        out = np.asarray(out_small)
         assert (out[:, 0] >= 0).all() and (out[:, 0] < w).all()
         assert (out[:, 1] >= 0).all() and (out[:, 1] < h).all()
 
-        # end-to-end: the cascade feeds the count into the host telemetry
+        # end-to-end: the cascade reports 0 through the host telemetry
+        refine_dense._SPARSE_CHUNK = 32
         cfg = dict(max_iter=4, lambda_init=1e-8, convergence_thresh=1e-6,
                    dist_thresh=10.0, radius=2, dilation_max=2)
         X = jnp.asarray(rng.rand(1, h, w, 3).astype(np.float32) + 1)
-        matching.match(cfg, X, X, D11[None], D11[None],
+        matching.match(cfg, X, X, np.asarray(D11, np.float32)[None],
+                       np.asarray(D11, np.float32)[None],
                        idx_1_to_2_init=jnp.zeros((1, n), jnp.int32))
-        assert matching.refine_overflow_total() > 0
+        assert matching.refine_overflow_total() == 0
     finally:
         refine_dense._SPARSE_CHUNK = old_chunk
         matching.reset_refine_telemetry()
+
+
+def test_refine_dense_valid_gating():
+    """valid=False queries keep their positions untouched; valid=True
+    queries get the same result as an ungated run restricted to them when
+    the gated-out queries were not competing for the same centers."""
+    from artdeco_tpu.ops import refine_dense
+
+    rng = np.random.RandomState(5)
+    h, w, f = 16, 20, 8
+    n = h * w
+    D11 = jnp.asarray(rng.randn(h, w, f).astype(np.float32)).astype(jnp.bfloat16)
+    D21 = jnp.asarray(rng.randn(n, f).astype(np.float32)).astype(jnp.bfloat16)
+    uu, vv = np.meshgrid(np.arange(w), np.arange(h))
+    p1 = jnp.asarray(np.stack([
+        np.clip(uu.reshape(-1), 1, w - 2),
+        np.clip(vv.reshape(-1), 1, h - 2)], -1).astype(np.int32))
+    valid = jnp.asarray(rng.rand(n) > 0.5)
+
+    out_gated, d1 = refine_dense.refine_matches_dense_single(
+        D11, D21, p1, radius=2, dilation_max=2, valid=valid)
+    out_all, d2 = refine_dense.refine_matches_dense_single(
+        D11, D21, p1, radius=2, dilation_max=2)
+    assert int(d1) == 0 and int(d2) == 0
+    vm = np.asarray(valid)
+    og, oa, p = np.asarray(out_gated), np.asarray(out_all), np.asarray(p1)
+    # invalid queries: untouched
+    np.testing.assert_array_equal(og[~vm], p[~vm])
+    # here every query claims a unique center (identity-ish grid), so the
+    # gated run matches the ungated one on the valid set exactly
+    np.testing.assert_array_equal(og[vm], oa[vm])
