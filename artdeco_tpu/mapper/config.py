@@ -42,6 +42,9 @@ class MapperConfig(NamedTuple):
     # static capacities (TPU slab allocation; grow-by-recompile)
     capacity: int = 1 << 18            # max gaussian slots
     initial_capacity: int = 1 << 14    # starting slab size (doubles on demand)
+    vis_budget_init: int = 1 << 15     # starting visible-set compaction budget
+                                       # for training renders (pow2, grows on
+                                       # overflow; see SceneModel._vis_budget)
     cluster_capacity: int = 1 << 14    # global_feat rows (14-bit vote keys)
     voxel_table_size: int = 1 << 16    # voxel hash buckets (17-bit keys)
     new_budget: int = 1 << 14          # max new gaussians per densify call

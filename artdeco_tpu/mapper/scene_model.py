@@ -140,11 +140,18 @@ def render_core(
     sh_degree: int,
     eps2d: float,
     cluster_capacity: int,
+    compact_budget=None,
 ):
     """Reference h3dgsv3.render (:617-700) + render_from_id exposure.
 
     Returns dict with render (3,H,W) clamped, invdepth (1,H,W), alpha,
-    visibility (C,), global_visibility (Cg,), scale_eff (C,3).
+    visibility (C,), global_visibility (Cg,), scale_eff (C,3),
+    n_comp_dropped ().
+
+    ``compact_budget`` (static) compacts the visible set before the
+    sort/bin/composite stages — see ops/splat/api.rasterization.  Results
+    are identical whenever the per-view visible count fits the budget;
+    overflow is counted in n_comp_dropped (callers grow the budget).
     """
     selection, opac, scale_eff, rot_eff, colors = effective_params(
         slab, gfeat, mlp, viewmat, cluster_capacity
@@ -152,7 +159,7 @@ def render_core(
     render, alpha, meta = splat_api.rasterization(
         slab.xyz, rot_eff, scale_eff, opac, colors, viewmat, K,
         width, height, sh_degree=sh_degree, render_mode="RGB+D",
-        eps2d=eps2d, valid_mask=selection,
+        eps2d=eps2d, valid_mask=selection, compact_budget=compact_budget,
     )
     rgb = jnp.moveaxis(render[..., :3], -1, 0)          # (3, H, W)
     depth = jnp.moveaxis(render[..., 3:4], -1, 0)       # (1, H, W)
@@ -181,6 +188,7 @@ def render_core(
     return dict(
         render=rgb, invdepth=invdepth, alpha=a, visibility=visibility,
         global_visibility=global_vis, scale=scale_eff, depth=depth,
+        n_comp_dropped=meta.n_comp_dropped,
     )
 
 
@@ -245,6 +253,7 @@ def _train_iter(
     lvl: int,
     is_important: bool,
     cfg: MapperConfig,
+    compact_budget=None,
 ):
     """One mapper training iteration (h3dgsv3.optimization_step :401-470).
 
@@ -264,7 +273,7 @@ def _train_iter(
         pkg = render_core(
             slab_t, trained["gfeat"], trained["mlp"], viewmat, e_kf,
             K_lvl, width, height, bg, cfg.sh_degree, cfg.low_pass_filter_eps,
-            cfg.cluster_capacity,
+            cfg.cluster_capacity, compact_budget=compact_budget,
         )
         image = pkg["render"]
         invdepth = pkg["invdepth"]
@@ -294,6 +303,7 @@ def _train_iter(
         aux = dict(
             loss=loss, l1=l1, ssim=ssim_l, depth=depth_l,
             visibility=pkg["visibility"], global_visibility=pkg["global_visibility"],
+            n_comp_dropped=pkg["n_comp_dropped"],
         )
         return loss, aux
 
@@ -398,7 +408,9 @@ def _train_iter(
     )
 
     metrics = dict(loss=aux["loss"], l1=aux["l1"], ssim=aux["ssim"],
-                   depth=aux["depth"])
+                   depth=aux["depth"],
+                   n_vis=jnp.sum(vis.astype(jnp.int32)),
+                   comp_dropped=aux["n_comp_dropped"])
     return slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, metrics
 
 
@@ -426,6 +438,12 @@ def _set_poses_masked_jit(pool: KF.KeyframePool, Rt, m) -> KF.KeyframePool:
         r_w2c=jnp.where(m[:, None, None], Rt[:, :3, :2], pool.r_w2c),
         t_w2c=jnp.where(m[:, None], Rt[:, :3, 3], pool.t_w2c),
     )
+
+
+@jax.jit
+def _densify_counts_probe(a, b):
+    """Two scalars as one fused readback payload."""
+    return jnp.stack([a, b])
 
 
 @jax.jit
@@ -467,13 +485,13 @@ def _stitch_slab(full_slab, full_opt, sub_slab, sub_opt, sliced: bool):
 @partial(
     jax.jit,
     static_argnames=("width", "height", "lvl", "is_important", "cfg",
-                     "train_len"),
+                     "train_len", "compact_budget"),
 )
 def optimization_step_core(
     slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, kf_idx,
     gt_image, mono_idepth, K_lvl, bg, is_test,
     width: int, height: int, lvl: int, is_important: bool, cfg: MapperConfig,
-    train_len: int = 1 << 30,
+    train_len: int = 1 << 30, compact_budget=None,
 ):
     """One jitted training iteration (kept for single-step callers/tests)."""
     sub, sub_opt, sliced = _slice_slab(slab, opt, train_len)
@@ -481,6 +499,7 @@ def optimization_step_core(
         sub, sub_opt, gfeat, mlp, mlp_opt, mlp_lr, pool, kf_idx,
         gt_image, mono_idepth, K_lvl, bg, is_test,
         width, height, lvl, is_important, cfg,
+        compact_budget=compact_budget,
     )
     new_slab, new_opt = _stitch_slab(slab, opt, out[0], out[1], sliced)
     return (new_slab, new_opt, *out[2:])
@@ -489,7 +508,7 @@ def optimization_step_core(
 @partial(
     jax.jit,
     static_argnames=("width", "height", "lvl", "is_important", "cfg",
-                     "train_len"),
+                     "train_len", "compact_budget"),
 )
 def optimization_burst_core(
     slab: G.GaussianSlab,
@@ -511,6 +530,7 @@ def optimization_burst_core(
     is_important: bool,
     cfg: MapperConfig,
     train_len: int = 1 << 30,
+    compact_budget=None,
 ):
     """A whole keyframe burst (the reference's 20/10-iteration
     optimization_loop, h3dgsv3.py:479) as ONE device program.
@@ -529,6 +549,7 @@ def optimization_burst_core(
         out = _train_iter(
             slab, opt, gfeat, mlp, mlp_opt, mlp_lr, pool, ki, gt, mono,
             K_lvl, bg, ist, width, height, lvl, is_important, cfg,
+            compact_budget=compact_budget,
         )
         return tuple(out[:-1]), out[-1]
 
@@ -539,6 +560,10 @@ def optimization_burst_core(
     )
     new_slab, new_opt = _stitch_slab(slab, opt, carry[0], carry[1], sliced)
     last = jax.tree_util.tree_map(lambda a: a[-1], metrics)
+    # budget telemetry aggregates over the WHOLE burst (a drop or a visible
+    # peak anywhere in it must reach the host's budget policy)
+    last["comp_dropped"] = jnp.sum(metrics["comp_dropped"])
+    last["n_vis"] = jnp.max(metrics["n_vis"])
     return (new_slab, new_opt, *carry[2:], last)
 
 
@@ -816,6 +841,18 @@ class SceneModel:
         # pow2 bucket over the active high-water mark: the training/render
         # cores run on a prefix slice of this length (see _slice_slab)
         self._train_len = self.slab.capacity
+        # pow2 bucket over the per-view VISIBLE count: training renders
+        # compact the visible set to this many rows before sort/bin/
+        # composite (ops/splat/api.rasterization compact_budget).  Grown
+        # whenever a burst reports a drop or a visible peak within 2x of
+        # the budget; telemetry in compaction_drop_total.
+        self._vis_budget = cfg.vis_budget_init
+        self.comp_drop_total = 0
+        # set by the runtime (runtime/prewarm.make_growth_hook): called with
+        # predicted (capacity, train_len, compact_budget) bucket combos to
+        # background-compile the slab-shaped programs before growth needs
+        # them; returns readiness
+        self.growth_hook = None
         self.last_trained_id = -1
         self.metrics_history: list[dict] = []
         self._np_rng = np.random.RandomState(seed)
@@ -1050,6 +1087,73 @@ class SceneModel:
             self._dev_cache[key] = (jnp.asarray(gt), jnp.asarray(mono))
         return self._dev_cache[key]
 
+    @staticmethod
+    def _cb_static(train_len: int, vis_budget: int):
+        """Compaction budget at a (train_len, vis_budget) combo, or None
+        when the training bucket is already no larger (compaction would
+        only add the prefix-sum pass)."""
+        cb = min(vis_budget, train_len)
+        return cb if cb < train_len else None
+
+    def _compact_budget(self):
+        return self._cb_static(self._train_len, self._vis_budget)
+
+    def _growth_ready(self, cap: int, train_len: int, compact_budget) -> bool:
+        """Enqueue the background compile for a bucket combo (deduped) and
+        report whether it is warm.  No hook (CPU tests) -> always ready."""
+        if self.growth_hook is None:
+            return True
+        return self.growth_hook(cap, train_len, compact_budget)
+
+    def _update_vis_budget(self, metrics):
+        """Grow the visible-set budget from burst telemetry: immediately on
+        any drop, and preemptively once the visible peak is within 2x of the
+        budget (drops then stay rare).  Preemptive growth additionally waits
+        for the grown combo's background compile (_growth_ready) so it never
+        lands a mid-stream stall — until the compile is warm the old budget
+        keeps rendering losslessly (no drop has occurred yet).  ONE tiny
+        fused pull; runs on the mapper/overlap thread, which must wait for
+        the burst anyway before consuming its next message."""
+        if metrics is None or "n_vis" not in metrics:
+            return
+        nv, nd = np.asarray(_densify_counts_probe(
+            metrics["n_vis"], metrics["comp_dropped"])).tolist()
+        self.comp_drop_total += int(nd)
+        want = self._vis_budget
+        if nd > 0:
+            want *= 2
+        while nv * 2 > want:
+            want *= 2
+        cap, tl = self.slab.capacity, self._train_len
+        if want != self._vis_budget:
+            ready = self._growth_ready(cap, tl, self._cb_static(tl, want))
+            if nd > 0 or ready:
+                self._vis_budget = want
+        # predict ONE doubling ahead once the peak is within 4x of the
+        # budget: the compile then has the 2x->4x headroom window of bursts
+        # to finish before preemptive growth wants it
+        if self.growth_hook is not None and nv * 4 > self._vis_budget:
+            nxt = self._vis_budget * 2
+            self.growth_hook(cap, tl, self._cb_static(tl, nxt))
+
+    def _predict_slab_growth(self, occupancy: int, high_water: int):
+        """Called from densify with post-insert occupancy / high-water
+        counts: background-compile the NEXT (capacity, train_len) buckets
+        while the current ones still have >=2x headroom, so the growth
+        event itself (mandatory, correctness-bound) finds warm
+        executables."""
+        if self.growth_hook is None:
+            return
+        cap, tl, vb = self.slab.capacity, self._train_len, self._vis_budget
+        if high_water * 2 > tl and tl < cap:
+            self.growth_hook(cap, tl * 2, self._cb_static(tl * 2, vb))
+        if occupancy * 2 > cap and cap < self.cfg.capacity:
+            nc = min(cap * 2, self.cfg.capacity)
+            self.growth_hook(nc, tl, self._cb_static(tl, vb))
+            if high_water * 2 > tl:
+                ntl = min(tl * 2, nc)
+                self.growth_hook(nc, ntl, self._cb_static(ntl, vb))
+
     def optimization_step(self, is_important: bool = True, finetuning: bool = False):
         if not self._has_gaussians or not self.keyframes:
             return
@@ -1077,8 +1181,10 @@ class SceneModel:
             jnp.asarray(bool(kf.is_test)),
             w, h, lvl, is_important, self.cfg,
             train_len=self._train_len,
+            compact_budget=self._compact_budget(),
         )
         self.last_trained_id = keyframe_id
+        self._update_vis_budget(metrics)
         return metrics
 
     def _presample_iters(self, n_iters: int, finetuning: bool = False):
@@ -1117,7 +1223,9 @@ class SceneModel:
             jnp.asarray(np.stack(bgs)),
             self._K_at_lvl(lvl), w, h, lvl, is_important, self.cfg,
             train_len=self._train_len,
+            compact_budget=self._compact_budget(),
         )
+        self._update_vis_budget(metrics)
         return metrics
 
     def optimization_loop(self, n_iters: int, is_important: bool = True,
@@ -1221,6 +1329,7 @@ class SceneModel:
                        cap)
         if want_len > self._train_len:
             self._train_len = want_len
+        self._predict_slab_growth(int(n_act) + n_inserted, hw_bound)
 
         self.weed_out_gaussians()
         self._has_gaussians = self._has_gaussians or n_inserted > 0

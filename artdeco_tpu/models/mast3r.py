@@ -64,21 +64,26 @@ def tiny_config(**kw) -> MASt3RConfig:
 # RoPE2D
 # ---------------------------------------------------------------------------
 
-def rope2d(tokens: jax.Array, positions: jax.Array, freq: float) -> jax.Array:
+def rope2d(tokens: jax.Array, positions: jax.Array, freq: float,
+           layout: str = "bhnd") -> jax.Array:
     """2D rotary embedding (croco/models/pos_embed.py RoPE2D).
 
-    tokens: (B, heads, N, D); positions: (B, N, 2) int (y, x).
-    The feature dim splits in half: first half rotated by y, second by x.
+    tokens: (B, heads, N, D) for layout "bhnd" or (B, N, heads, D) for
+    "bnhd"; positions: (B, N, 2) int (y, x).  The feature dim splits in
+    half: first half rotated by y, second by x.
     """
-    b, h, n, d = tokens.shape
+    d = tokens.shape[-1]
     d_half = d // 2
     d_quarter = d_half // 2
     inv_freq = 1.0 / (freq ** (jnp.arange(0, d_half, 2, dtype=jnp.float32) / d_half))
 
     def rope1d(tok, pos1d):
-        # tok (B, h, N, d_half); pos1d (B, N)
-        angles = pos1d[:, None, :, None].astype(jnp.float32) * inv_freq  # (B,1,N,dq)
-        ang = jnp.concatenate([angles, angles], axis=-1)  # (B,1,N,d_half)
+        # tok (..., N-at-layout-axis, ..., d_half); pos1d (B, N)
+        if layout == "bhnd":
+            angles = pos1d[:, None, :, None].astype(jnp.float32) * inv_freq
+        else:  # "bnhd"
+            angles = pos1d[:, :, None, None].astype(jnp.float32) * inv_freq
+        ang = jnp.concatenate([angles, angles], axis=-1)  # (..., d_half)
         cos = jnp.cos(ang).astype(tok.dtype)
         sin = jnp.sin(ang).astype(tok.dtype)
         t1, t2 = tok[..., :d_quarter], tok[..., d_quarter:]
@@ -106,16 +111,14 @@ class Attention(nn.Module):
         b, n, c = x.shape
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, use_bias=True, name="qkv", dtype=self.dtype)(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        q = rope2d(q, xpos, self.rope_freq)
-        k = rope2d(k, xpos, self.rope_freq)
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+        # BNHD throughout: jax.nn.dot_product_attention's native layout, so
+        # no head transposes (layout thrash) and XLA lowers the whole
+        # softmax(QK^T)V as one fused attention (f32 logits internally)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = rope2d(q, xpos, self.rope_freq, layout="bnhd")
+        k = rope2d(k, xpos, self.rope_freq, layout="bnhd")
+        out = jax.nn.dot_product_attention(q, k, v).reshape(b, n, c)
         return nn.Dense(c, name="proj", dtype=self.dtype)(out)
 
 
@@ -134,18 +137,12 @@ class CrossAttention(nn.Module):
             return (
                 nn.Dense(c, use_bias=True, name=name, dtype=self.dtype)(x)
                 .reshape(b, -1, self.num_heads, hd)
-                .transpose(0, 2, 1, 3)
             )
 
-        q = rope2d(proj(query, "projq"), qpos, self.rope_freq)
-        k = rope2d(proj(key, "projk"), kpos, self.rope_freq)
+        q = rope2d(proj(query, "projq"), qpos, self.rope_freq, layout="bnhd")
+        k = rope2d(proj(key, "projk"), kpos, self.rope_freq, layout="bnhd")
         v = proj(value, "projv")
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, nq, c)
+        out = jax.nn.dot_product_attention(q, k, v).reshape(b, nq, c)
         return nn.Dense(c, name="proj", dtype=self.dtype)(out)
 
 

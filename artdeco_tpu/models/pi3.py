@@ -78,20 +78,17 @@ class RopeAttention(nn.Module):
         b, n, c = x.shape
         hd = c // self.num_heads
         qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # BNHD: dot_product_attention's native layout (fused attention, no
+        # head transposes) — see mast3r.Attention
+        qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if self.qk_norm:
             q = nn.LayerNorm(name="q_norm", dtype=jnp.float32)(q).astype(self.dtype)
             k = nn.LayerNorm(name="k_norm", dtype=jnp.float32)(k).astype(self.dtype)
         if self.use_rope and xpos is not None:
-            q = rope2d(q, xpos, self.rope_freq)
-            k = rope2d(k, xpos, self.rope_freq)
-        attn = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) * (hd ** -0.5)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, c)
+            q = rope2d(q, xpos, self.rope_freq, layout="bnhd")
+            k = rope2d(k, xpos, self.rope_freq, layout="bnhd")
+        out = jax.nn.dot_product_attention(q, k, v).reshape(b, n, c)
         return nn.Dense(c, name="proj", dtype=self.dtype)(out)
 
 

@@ -23,6 +23,7 @@ class RasterMeta(NamedTuple):
     means2d: jax.Array      # (N, 2)
     depths: jax.Array       # (N,)
     num_pairs: jax.Array    # () — binning occupancy (overflow diagnostics)
+    n_comp_dropped: jax.Array  # () — visible gaussians beyond compact_budget
 
 
 @functools.partial(
@@ -30,6 +31,7 @@ class RasterMeta(NamedTuple):
     static_argnames=(
         "width", "height", "sh_degree", "render_mode", "eps2d", "near_plane",
         "far_plane", "radius_clip", "antialiased", "kx", "ky", "frustum_hw",
+        "compact_budget",
     ),
 )
 def rasterization(
@@ -53,10 +55,23 @@ def rasterization(
     ky: int = 4,
     valid_mask: Optional[jax.Array] = None,
     frustum_hw: Optional[tuple] = None,
+    compact_budget: Optional[int] = None,
 ):
     """Returns (render (H, W, C), alpha (H, W, 1), meta).
 
     render_mode "RGB" -> C=3; "RGB+D" -> C=4 with expected depth in [..., 3].
+
+    ``compact_budget``: compact the visible set into at most this many rows
+    BEFORE the depth sort, so the sort, binning (a 16V-pair sort), packed
+    scatter and slot gathers all scale with the per-view VISIBLE count
+    instead of the slab length — at a 262k slab with ~50k visible this is
+    ~3x off the whole fwd+bwd (measured, scripts/profile_render.py).  The
+    composited image is BIT-IDENTICAL to the full path whenever the budget
+    covers the visible count: compaction preserves index order, the depth
+    sort is stable, so every tile composites the same gaussians in the same
+    order.  Visible gaussians beyond the budget are dropped for this render
+    (highest indices first) and COUNTED in meta.n_comp_dropped — callers
+    surface the counter and grow the budget (no silent caps).
     """
     n = means.shape[0]
     proj = project.project_gaussians(
@@ -72,27 +87,64 @@ def rasterization(
             radii=jnp.where(valid_mask[:, None], proj.radii, 0.0)
         )
 
-    if sh_degree is not None:
-        cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
-        dirs = means - cam_pos
-        rgb = sh.sh_to_color(sh_degree, dirs, colors)
-    else:
-        rgb = colors
-    opac = opacities * proj.compensations
-
+    cam_pos = -viewmat[:3, :3].T @ viewmat[:3, 3]
     with_depth = render_mode.endswith("+D")
+
+    if compact_budget is not None and compact_budget < n:
+        v = compact_budget
+        ids = jnp.arange(n, dtype=jnp.int32)
+        vis = jnp.max(proj.radii, axis=-1) > 0
+        pos = jnp.cumsum(vis.astype(jnp.int32)) - 1
+        tgt = jnp.where(vis & (pos < v), pos, v)
+        sel = jnp.full((v,), n, jnp.int32).at[tgt].min(ids, mode="drop")
+        sel_ok = sel < n
+        safe = jnp.minimum(sel, n - 1)
+        n_comp_dropped = (
+            jnp.sum(vis.astype(jnp.int32))
+            - jnp.sum(sel_ok.astype(jnp.int32))
+        )
+        means2d_v = proj.means2d[safe]
+        conics_v = proj.conics[safe]
+        radii_v = jnp.where(sel_ok[:, None], proj.radii[safe], 0.0)
+        depths_v = proj.depths[safe]
+        opac_v = opacities[safe] * proj.compensations[safe]
+        # SH eval only on the compacted rows (the full-slab eval is pure
+        # waste: invisible rows composite to nothing and their color grads
+        # are zero either way)
+        if sh_degree is not None:
+            rgb_v = sh.sh_to_color(
+                sh_degree, means[safe] - cam_pos, colors[safe]
+            )
+        else:
+            rgb_v = colors[safe]
+        n_rows = v
+    else:
+        n_comp_dropped = jnp.zeros((), jnp.int32)
+        means2d_v = proj.means2d
+        conics_v = proj.conics
+        radii_v = proj.radii
+        depths_v = proj.depths
+        opac_v = opacities * proj.compensations
+        if sh_degree is not None:
+            rgb_v = sh.sh_to_color(sh_degree, means - cam_pos, colors)
+        else:
+            rgb_v = colors
+        n_rows = n
+
     channels = (
-        jnp.concatenate([rgb, proj.depths[:, None]], axis=-1) if with_depth else rgb
+        jnp.concatenate([rgb_v, depths_v[:, None]], axis=-1)
+        if with_depth else rgb_v
     )
     n_ch = channels.shape[-1]
     assert n_ch <= composite.C_MAX - 1
 
-    # depth sort (front to back)
-    order = jnp.argsort(proj.depths)
-    means2d_s = proj.means2d[order]
-    conics_s = proj.conics[order]
-    radii_s = proj.radii[order]
-    opac_s = opac[order]
+    # depth sort (front to back; stable — ties keep index order, matching
+    # the compacted and full paths to each other and to gsplat)
+    order = jnp.argsort(depths_v)
+    means2d_s = means2d_v[order]
+    conics_s = conics_v[order]
+    radii_s = radii_v[order]
+    opac_s = opac_v[order]
     channels_s = channels[order]
 
     tiles_x = -(-width // TILE)
@@ -104,12 +156,12 @@ def rasterization(
             means2d_s,
             conics_s,
             opac_s[:, None],
-            jnp.zeros((n, 2), means.dtype),
+            jnp.zeros((n_rows, 2), means.dtype),
             channels_s,
-            jnp.zeros((n, composite.C_MAX - n_ch), means.dtype),
+            jnp.zeros((n_rows, composite.C_MAX - n_ch), means.dtype),
         ],
         axis=-1,
-    )  # (N, 16)
+    )  # (n_rows, 16)
     # scatter into chunk-aligned padded slots, transposed (D, S); the
     # where-VJP zeroes grads of padding slots, the gather-VJP scatter-adds
     # slot grads back onto gaussians
@@ -131,6 +183,6 @@ def rasterization(
 
     meta = RasterMeta(
         radii=proj.radii, means2d=proj.means2d, depths=proj.depths,
-        num_pairs=bins.num_pairs,
+        num_pairs=bins.num_pairs, n_comp_dropped=n_comp_dropped,
     )
     return render, alpha, meta

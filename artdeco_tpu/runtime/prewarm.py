@@ -71,6 +71,7 @@ _queue_lock = threading.Lock()
 _queue_cv = threading.Condition(_queue_lock)
 _worker: threading.Thread | None = None
 _all_events: list = []
+_busy = threading.Event()   # set while a compile is executing (see atexit)
 
 
 def wait_all(timeout: float = None) -> bool:
@@ -96,10 +97,32 @@ def _worker_loop():
             while not _queue:
                 _queue_cv.wait()
             name, low, verbose, done = _queue.pop(0)
-        try:
+            _busy.set()          # atomic with the pop: exit-drain sees
+        try:                     # either a queued item or busy
             _compile_one(name, low, verbose)
         finally:
+            _busy.clear()
             done.set()
+
+
+def _drain_at_exit():
+    """Interpreter teardown while the daemon worker is inside an XLA
+    compile aborts the process (C++ 'terminate called ... FATAL: exception
+    not rethrown' -> SIGABRT), turning a green pytest run into rc=134.
+    Drop everything still queued (prewarm is best-effort) and wait out the
+    one in-flight compile."""
+    with _queue_cv:
+        for _name, _low, _verbose, done in _queue:
+            done.set()
+        _queue.clear()
+    deadline = time.time() + 600
+    while _busy.is_set() and time.time() < deadline:
+        time.sleep(0.05)
+
+
+import atexit  # noqa: E402  (registration belongs right after the loop)
+
+atexit.register(_drain_at_exit)
 
 
 def submit_compile(name: str, lowerable, verbose: bool = True,
@@ -306,6 +329,7 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
                 sds((n_it,), jnp.bool_), sds((n_it, 3), f32),
                 sds((3, 3), f32), wl, hl, lvl, imp, mcfg,
                 train_len=sm._train_len,
+                compact_budget=sm._compact_budget(),
             )
         jobs.append((f"mapper_burst[n={n_it},imp={imp}]", low_burst))
 
@@ -330,7 +354,166 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
     events = [submit_compile(name, low, verbose, front=True)
               for name, low in reversed(head)]
     events += [submit_compile(name, low, verbose) for name, low in rest]
+    # remember the initial mapper combo as warmed (growth predictions skip it)
+    _growth_seen.add((sm.slab.capacity, sm._train_len, sm._compact_budget()))
     if sync:
         for e in events:
             e.wait()
     return events
+
+
+# ---------------------------------------------------------------------------
+# Predictive growth prewarm.
+#
+# Slab-shaped programs recompile whenever (capacity, train_len,
+# compact_budget) changes; in BENCH r5-pre these growth events landed
+# 25-110 s compile stalls mid-stream (frames 32/36/39/59/63).  The scene
+# model predicts the next bucket combo while the current one still has
+# headroom (SceneModel._predict_growth) and hands it here; the compile runs
+# on the shared serialized background worker, so the growth event itself
+# finds a warm executable.
+# ---------------------------------------------------------------------------
+
+_growth_seen: set = set()
+
+
+def _sds_rows(tree, rows: int):
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct((rows,) + a.shape[1:], a.dtype), tree
+    )
+
+
+def prewarm_mapper_variant(system, cap: int, train_len: int,
+                           compact_budget, verbose: bool = True):
+    """Background-compile the slab-shaped hot programs at a predicted
+    (capacity, train_len, compact_budget) growth bucket.  Dedups per combo;
+    returns the compile Events (empty when already seen)."""
+    key = (cap, train_len, compact_budget)
+    if key in _growth_seen:
+        return []
+    _growth_seen.add(key)
+
+    import jax
+    import jax.numpy as jnp
+
+    from artdeco_tpu.mapper import gaussians as G
+    from artdeco_tpu.mapper import scene_model as SM
+
+    sds = jax.ShapeDtypeStruct
+    f32 = jnp.float32
+    sm = system.scene_model
+    mcfg = sm.cfg
+    lvl = mcfg.pyr_levels - 1
+    s = 2 ** lvl
+    wl, hl = sm.width // s, sm.height // s
+    slab_s = _sds_rows(sm.slab, cap)
+    opt_s = _sds_rows(sm.opt, cap)
+    gfeat_s = _sds_like(sm.gfeat)
+    mlp_s = _sds_like(sm.mlp)
+    mlp_opt_s = _sds_like(sm.mlp_opt)
+    pool_s = _sds_like(sm.pool)
+    tag = f"cap={cap >> 10}k,tl={train_len >> 10}k,cb=" + (
+        f"{compact_budget >> 10}k" if compact_budget else "-")
+
+    jobs = []
+    n_key = int(getattr(system.args, "num_key_iterations", 30))
+    n_common = int(getattr(system.args, "num_common_iterations", 0))
+    for n_it, imp in {(n_key, True), (n_common, False)}:
+        if n_it <= 0:
+            continue
+
+        def low_burst(n_it=n_it, imp=imp):
+            return SM.optimization_burst_core.lower(
+                slab_s, opt_s, gfeat_s, mlp_s, mlp_opt_s, sds((), f32),
+                pool_s, sds((n_it,), jnp.int32),
+                sds((n_it, 3, hl, wl), f32), sds((n_it, 1, hl, wl), f32),
+                sds((n_it,), jnp.bool_), sds((n_it, 3), f32),
+                sds((3, 3), f32), wl, hl, lvl, imp, mcfg,
+                train_len=train_len, compact_budget=compact_budget,
+            )
+        jobs.append((f"grow_burst[n={n_it},imp={imp},{tag}]", low_burst))
+
+    def low_render():
+        return SM.render_from_pool_jit.lower(
+            slab_s, _sds_like(sm.gfeat.val), mlp_s, pool_s,
+            sds((), jnp.int32), sds((3, 3), f32), sm.width, sm.height,
+            sds((3,), f32), mcfg.sh_degree, mcfg.low_pass_filter_eps,
+            mcfg.cluster_capacity, train_len=train_len,
+        )
+    jobs.append((f"grow_render[{tag}]", low_render))
+
+    def low_prune():
+        return SM._densify_prune_core.lower(
+            slab_s, sds((3,), f32), sds((), f32), sds((), f32),
+            train_len=train_len,
+        )
+    jobs.append((f"grow_prune[{tag}]", low_prune))
+
+    def low_weed():
+        return SM.weed_core.lower(
+            slab_s, sds((mcfg.keyframe_capacity, 3), f32),
+            sds((mcfg.keyframe_capacity,), jnp.bool_),
+            float(mcfg.visible_threshold), train_len=train_len,
+        )
+    jobs.append((f"grow_weed[{tag}]", low_weed))
+
+    budget = mcfg.new_budget // len(SM.LODS)
+    b_total = sum(
+        min(budget, (sm.height // lod) * (sm.width // lod)) for lod in SM.LODS
+    )
+    k = (mcfg.sh_degree + 1) ** 2
+
+    def low_insert():
+        new_s = dict(
+            xyz=sds((b_total, 3), f32), f_dc=sds((b_total, 1, 3), f32),
+            f_rest=sds((b_total, k - 1, 3), f32),
+            scaling=sds((b_total, 3), f32), rotation=sds((b_total, 4), f32),
+            opacity=sds((b_total, 1), f32),
+            local_feat=sds((b_total, mcfg.local_feat_dim), f32),
+            d_max=sds((b_total, 1), f32), cls_id=sds((b_total,), jnp.int32),
+            kf_id=sds((b_total,), jnp.int32), xyz_lr=sds((b_total,), f32),
+        )
+        return G.insert.lower(slab_s, opt_s, new_s, sds((b_total,), jnp.bool_))
+    jobs.append((f"grow_insert[{tag}]", low_insert))
+
+    def low_grow():
+        return G.grow.lower(_sds_rows(sm.slab, cap // 2),
+                            _sds_rows(sm.opt, cap // 2), cap)
+    if cap > sm.cfg.initial_capacity:
+        jobs.append((f"grow_slab[{tag}]", low_grow))
+
+    def low_counts():
+        return SM._densify_counts_jit.lower(
+            sds((cap,), jnp.bool_), sds((b_total,), jnp.bool_))
+    jobs.append((f"grow_counts[{tag}]", low_counts))
+
+    return [submit_compile(name, low, verbose) for name, low in jobs]
+
+
+_hook_lock = threading.Lock()
+
+
+def make_growth_hook(system, verbose: bool = True):
+    """Build the ``SceneModel.growth_hook`` callable.
+
+    ``hook(cap, train_len, compact_budget) -> bool`` enqueues the variant's
+    background compiles on first call (deduped per combo) and reports
+    whether they have ALL finished.  The scene model calls it early, from
+    its growth *predictions*, so the compiles overlap streaming; it gates
+    optional growth (the visible-set compaction budget) on readiness so an
+    unready variant never stalls a burst mid-stream."""
+    pending: dict = {}
+
+    def hook(cap: int, train_len: int, compact_budget) -> bool:
+        key = (cap, train_len, compact_budget)
+        with _hook_lock:
+            evs = pending.get(key)
+            if evs is None:
+                evs = prewarm_mapper_variant(
+                    system, cap, train_len, compact_budget, verbose=verbose)
+                pending[key] = evs
+        return all(e.is_set() for e in evs)
+
+    return hook

@@ -301,6 +301,8 @@ class System:
                 )
             mesh = Mesh(np.array(avail[:n_dev]), ("dp",))
             self.scene_model.enable_mesh(mesh)
+            # backend pose-graph GN shards its edges over the same axis
+            self.backend.factor_graph.enable_mesh(mesh, "dp")
         self.mapper_cfg = mcfg
         # AOT-compile the whole stage set on background threads (runtime/
         # prewarm.py): with a warm persistent cache every stage dispatch
@@ -313,9 +315,15 @@ class System:
         if want_prewarm is None:
             want_prewarm = jax.default_backend() == "tpu"
         if want_prewarm:
-            from artdeco_tpu.runtime.prewarm import prewarm_system
+            from artdeco_tpu.runtime.prewarm import (
+                make_growth_hook, prewarm_system,
+            )
 
             prewarm_system(self)
+            # growth prediction: the scene model hands upcoming (capacity,
+            # train_len, compact_budget) buckets here for background
+            # compilation before the growth event needs them
+            self.scene_model.growth_hook = make_growth_hook(self)
         self.mapper_index = 0
         self.related_frames: dict = {}   # slam kf index -> [mapper ids]
         self.mapper_meta: list = []      # per mapper frame bookkeeping

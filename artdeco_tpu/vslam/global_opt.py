@@ -18,6 +18,7 @@ recompiles only on capacity growth.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -155,12 +156,7 @@ def _edge_terms(T_wc, Xs, K, i_idx, j_idx, idx_ii2jj, zi_log,
     return Hjj, gi, gj
 
 
-@partial(
-    jax.jit,
-    static_argnames=("height", "width", "max_iter", "num_fix", "chunk",
-                     "point_stride"),
-)
-def gauss_newton_calib(
+def _gn_calib_impl(
     T_wc: jax.Array,        # (P, 8) Sim3 poses (padded; first num_fix fixed)
     Xs: jax.Array,          # (P, HW, 3) pointmaps (ray-constrained)
     Cs: jax.Array,          # (P, HW, 1) average confidences
@@ -185,6 +181,7 @@ def gauss_newton_calib(
     num_fix: int = 1,
     chunk: int = 64,
     point_stride: int = 1,
+    axis_name=None,
 ):
     """Global Sim(3) pose-graph GN (gauss_newton_calib_cuda semantics).
 
@@ -192,6 +189,11 @@ def gauss_newton_calib(
     target pixel).  The reference uses every pixel (~147k residuals/edge),
     which over-determines a 7-DoF pose by 4 orders of magnitude; striding
     cuts HBM traffic proportionally with negligible estimator variance.
+
+    ``axis_name``: when running under shard_map with edges sharded over a
+    mesh axis (gauss_newton_calib_sharded), each shard accumulates (H, g)
+    over its local edges and ONE psum per GN iteration merges them; every
+    device then solves the (small, replicated) dense system identically.
 
     Returns updated poses (P, 8).
     """
@@ -268,6 +270,10 @@ def gauss_newton_calib(
         (H, g), _ = jax.lax.scan(
             edge_chunk, (H0, g0), jnp.arange(E // chunk)
         )
+        if axis_name is not None:
+            # edge-sharded: merge the per-shard partial normal equations
+            H = jax.lax.psum(H, axis_name)
+            g = jax.lax.psum(g, axis_name)
 
         # dense assembly; pin fixed/unused poses by identity rows
         Hd = H.transpose(0, 2, 1, 3).reshape(P * D, P * D)
@@ -294,6 +300,64 @@ def gauss_newton_calib(
         cond, one_iter, (jnp.int32(0), T_wc, jnp.asarray(jnp.inf))
     )
     return T_out
+
+
+gauss_newton_calib = partial(
+    jax.jit,
+    static_argnames=("height", "width", "max_iter", "num_fix", "chunk",
+                     "point_stride"),
+)(_gn_calib_impl)
+
+
+def gauss_newton_calib_sharded(mesh, axis: str, *args, **kwargs):
+    """Edge-sharded global GN over a device mesh (SURVEY §2.4).
+
+    The reference assigns one CUDA block per edge within one GPU
+    (``gn_kernels.cu:1231-1637``); here edges shard across devices: each
+    device computes per-edge statics and (H, g) partial sums for its local
+    edge slice, ONE ``psum`` per GN iteration merges the normal equations
+    over ICI, and the small dense solve replicates on every device (P <=
+    256, so the redundant solve is cheaper than gathering).  The edge count
+    E must be divisible by the mesh axis size (callers pad E to a power of
+    two >= 64).  Identical solution to the single-device solver.
+    """
+    from jax.sharding import PartitionSpec
+
+    ndev = mesh.shape[axis]
+    e = PartitionSpec(axis)
+    r = PartitionSpec()
+    # first 11 positionals are arrays: T_wc Xs Cs K replicated; ii jj idx vm
+    # Q edge_valid sharded over edges; pose_used replicated.  Any further
+    # positionals (height, width, ...) are statics — bake them into kwargs.
+    arrays, statics = args[:11], args[11:]
+    for name, v in zip(("height", "width", "pixel_border", "z_eps",
+                        "sigma_pixel", "sigma_depth", "C_thresh", "Q_thresh",
+                        "max_iter", "delta_thresh", "num_fix", "chunk",
+                        "point_stride"), statics):
+        kwargs[name] = v
+    in_specs = (r, r, r, r, e, e, e, e, e, e, r)
+    E = arrays[4].shape[0]
+    if E % ndev:
+        raise ValueError(f"edge pad {E} not divisible by mesh axis {ndev}")
+    # local chunk: cover the whole local slice in one scan body by default
+    kwargs.setdefault("chunk", max(1, E // ndev))
+    fn = _sharded_gn_fn(mesh, axis, tuple(sorted(kwargs.items())))
+    return fn(*arrays)
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_gn_fn(mesh, axis: str, kw_items: tuple):
+    """One jitted shard_map per (mesh, axis, statics) — rebuilding it per
+    call would re-trace/re-compile every solve."""
+    from jax.sharding import PartitionSpec
+
+    e = PartitionSpec(axis)
+    r = PartitionSpec()
+    fn = partial(_gn_calib_impl, axis_name=axis, **dict(kw_items))
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(r, r, r, r, e, e, e, e, e, e, r),
+        out_specs=r, check_vma=False,
+    ))
 
 
 @partial(
@@ -531,6 +595,11 @@ class FactorGraph:
         self._dev_pcap = 0
         # background-compiled (P, E) solver variants (see _prewarm_solver)
         self._warmed: set = set()
+        # optional device mesh: edges shard over this axis in solve_GN_calib
+        # (gauss_newton_calib_sharded); set via enable_mesh when the runtime
+        # runs multi-chip
+        self.mesh = None
+        self.mesh_axis = "dp"
         self.timers: dict = {}   # substage wall-clock [sum_s, n]
         # warm the ladder rungs a ~100-frame stream can reach up front: a
         # rung compiled on demand (or even in the background — the bench
@@ -541,6 +610,12 @@ class FactorGraph:
         for rung in ((32, 64), (32, 128), (32, 256), (32, 512),
                      (64, 128), (64, 256), (64, 512)):
             self._prewarm_solver(*rung)
+
+    def enable_mesh(self, mesh, axis: str = "dp"):
+        """Shard subsequent global GN solves over the mesh's ``axis``
+        (edge-parallel; see gauss_newton_calib_sharded)."""
+        self.mesh = mesh
+        self.mesh_axis = axis
 
     def _t(self, key: str, t0: float):
         import time as _time
@@ -944,6 +1019,13 @@ class FactorGraph:
             gauss_newton_calib if P <= self.DENSE_POSE_LIMIT
             else gauss_newton_calib_sparse
         )
+        if (
+            self.mesh is not None
+            and P <= self.DENSE_POSE_LIMIT
+            and E % self.mesh.shape[self.mesh_axis] == 0
+        ):
+            solver = partial(gauss_newton_calib_sharded, self.mesh,
+                             self.mesh_axis)
         idx_E, vm_E, q_E = self._slice_edges(
             self._dev_edges["idx"], self._dev_edges["vm"],
             self._dev_edges["q"], min(E, self._dev_ecap),

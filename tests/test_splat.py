@@ -196,3 +196,61 @@ def test_rasterization_optimization_smoke():
         colors = colors - 50.0 * g(colors)
     l1 = float(loss(colors))
     assert l1 < 0.3 * l0, (l0, l1)
+
+
+def test_rasterization_compact_budget_parity():
+    """compact_budget covering the visible count is exact: same image,
+    alpha, and gradients as the full path (compaction preserves index
+    order and the depth sort is stable); a too-small budget drops the
+    highest-index visibles and counts them in meta.n_comp_dropped."""
+    key = jax.random.PRNGKey(11)
+    n = 96
+    means = jax.random.normal(key, (n, 3)) * jnp.asarray([0.5, 0.4, 0.6]) + jnp.asarray(
+        [0.0, 0.0, 3.0]
+    )
+    # put a scattered half behind the camera: the compacted visible set is
+    # then a strict, non-contiguous subset of the slab
+    means = means.at[:, 2].set(
+        jnp.where(jnp.arange(n) % 3 == 1, -1.0, means[:, 2])
+    )
+    quats = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))
+    scales = jnp.full((n, 3), 0.05)
+    opac = jnp.full((n,), 0.8)
+    colors = jax.random.uniform(jax.random.PRNGKey(12), (n, 1, 3))
+    viewmat = jnp.eye(4)
+    width, height = 64, 48
+    K = jnp.asarray([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]])
+    # mask a few rows so the compaction interacts with valid_mask too
+    valid = jnp.arange(n) % 7 != 3
+
+    def run(budget, c):
+        return api.rasterization(
+            means, quats, scales, opac, c, viewmat, K, width, height,
+            sh_degree=0, eps2d=0.3, valid_mask=valid, compact_budget=budget,
+        )
+
+    r_full, a_full, m_full = run(None, colors)
+    n_vis = int((m_full.radii.max(-1) > 0).sum())
+    assert n_vis > 8
+    budget = 1 << (n_vis - 1).bit_length()  # next pow2 >= n_vis, < n
+    assert budget < n
+    r_c, a_c, m_c = run(budget, colors)
+    assert int(m_c.n_comp_dropped) == 0
+    np.testing.assert_allclose(np.asarray(r_c), np.asarray(r_full),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(a_c), np.asarray(a_full),
+                               rtol=0, atol=1e-6)
+
+    def loss(c, budget):
+        r, a, _ = run(budget, c)
+        return jnp.sum(r ** 2) + jnp.sum(a * a)
+
+    g_full = jax.grad(loss)(colors, None)
+    g_c = jax.grad(loss)(colors, budget)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_full),
+                               rtol=1e-5, atol=1e-5)
+
+    # too-small budget: drops counted, image still finite
+    r_s, a_s, m_s = run(8, colors)
+    assert int(m_s.n_comp_dropped) == n_vis - 8
+    assert bool(jnp.isfinite(r_s).all())
