@@ -217,9 +217,13 @@ def rigid_transform(slab: GaussianSlab, old_c2w: jax.Array, new_c2w: jax.Array
     return dataclasses.replace(slab, xyz=new_xyz, rotation=new_rot)
 
 
+@partial(jax.jit, static_argnames=("new_capacity",))
 def grow(slab: GaussianSlab, opt: SlabOptState, new_capacity: int):
-    """Reallocate the slab at a larger capacity (host-side, triggers one
-    recompile per power-of-two step — the TPU answer to concat-and-grow)."""
+    """Reallocate the slab at a larger capacity (one recompile per
+    power-of-two step — the TPU answer to concat-and-grow).  Jitted so the
+    growth-prediction prewarm can AOT-compile it (runtime/prewarm.py
+    grow_slab); the xyz_lr fill rides as a traced scalar instead of a host
+    readback."""
     old = slab.capacity
     assert new_capacity > old
     pad = new_capacity - old
@@ -243,7 +247,9 @@ def grow(slab: GaussianSlab, opt: SlabOptState, new_capacity: int):
         ),
         opacity=pad0(slab.opacity, -10.0),
         local_feat=pad0(slab.local_feat),
-        xyz_lr=pad0(slab.xyz_lr, float(slab.xyz_lr[0])),
+        xyz_lr=jnp.concatenate(
+            [slab.xyz_lr, jnp.full((pad,), slab.xyz_lr[0])]
+        ),
     )
     opt2 = SlabOptState(
         **{

@@ -97,6 +97,38 @@ def test_slab_insert_prune():
     assert float(slab.xyz[0, 0]) == 2.0  # slot 0 was recycled
 
 
+def test_slab_grow_preserves_state():
+    """grow() is jitted (AOT-prewarmable) and must keep every live row,
+    fill values, and optimizer moments across the reallocation."""
+    slab = G.create_slab(64, 1, 4, 1e-4)
+    opt = G.create_opt_state(slab)
+    slab, opt, _ = G.insert(
+        slab, opt,
+        dict(xyz=jnp.full((5, 3), 1.5), opacity=jnp.full((5, 1), 0.3)),
+        jnp.ones((5,), bool),
+    )
+    s2, o2 = G.grow(slab, opt, 128)
+    assert s2.capacity == 128
+    assert int(s2.num_active()) == 5
+    np.testing.assert_allclose(np.asarray(s2.xyz[:5]), 1.5)
+    assert not bool(s2.active[64:].any())
+    # pad fills match create_slab's inits so downstream masking math holds
+    assert float(s2.scaling[127, 0]) == -10.0
+    assert float(s2.rotation[127, 0]) == 1.0
+    assert float(s2.d_max[127, 0]) == 1e10
+    np.testing.assert_allclose(
+        np.asarray(s2.xyz_lr[64:]), float(slab.xyz_lr[0]))
+    assert o2.xyz.exp_avg.shape[0] == 128
+    np.testing.assert_allclose(
+        np.asarray(o2.xyz.exp_avg[:64]), np.asarray(opt.xyz.exp_avg))
+    # AOT-lowerable (runtime/prewarm.py grow_slab path)
+    import jax as _jax
+
+    sds = _jax.tree_util.tree_map(
+        lambda a: _jax.ShapeDtypeStruct(a.shape, a.dtype), (slab, opt))
+    G.grow.lower(sds[0], sds[1], 128)
+
+
 def test_cluster_update():
     st = clustering.create_cluster_state(1024)
     xyz = jnp.zeros((16, 3))
