@@ -79,8 +79,13 @@ class GlobalFeats:
 
 def create_global_feats(capacity: int, dim: int, lr_init: float) -> GlobalFeats:
     v = jnp.zeros((capacity, dim))
+    # explicit dtype: jnp.full of a python float is WEAK-typed, and a weak
+    # leaf anywhere in the carried state keys a different executable than
+    # the (non-weak) ShapeDtypeStruct prewarm — every burst/render prewarm
+    # was recompiling at first real use (measured 20-80 s each mid-stream)
     return GlobalFeats(
-        val=v, lr=jnp.full((capacity,), lr_init), opt=adam.init_state(v)
+        val=v, lr=jnp.full((capacity,), lr_init, jnp.float32),
+        opt=adam.init_state(v),
     )
 
 

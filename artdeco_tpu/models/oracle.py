@@ -323,12 +323,97 @@ class OracleRunner:
         Qc = self._q_const(b)
         return (idx[:b], idx[b:], valid[:b], valid[b:], Qc, Qc, Qc, Qc)
 
+    def prewarm_jits(self, h: int, w: int):
+        """(name, lowerable) jobs for the oracle's internal glue jits at the
+        match-batch buckets, consumed by runtime/prewarm.prewarm_system —
+        first use of each bucket otherwise compiles 4-6 of these (1-2 s
+        each over the tunnel) inside a keyframe's critical path."""
+        import jax
+        import jax.numpy as jnp
+
+        from artdeco_tpu.ops import matching as M
+        from artdeco_tpu.vslam.global_opt import FactorGraph
+
+        sds = jax.ShapeDtypeStruct
+        f32 = jnp.float32
+        i32 = jnp.int32
+        n = h * w
+        d = 24  # descriptor dim (4 freqs x 3 dims x sin/cos)
+
+        # force the lazy class-level jits into existence
+        self._conf_device()
+        if OracleRunner._cross_jit is None:
+            OracleRunner._cross_jit = jax.jit(
+                lambda Td, Ts, Xs: lie.sim3_act(
+                    lie.sim3_mul(lie.sim3_inv(Td), Ts), Xs
+                )
+            )
+        self._stack0([jnp.zeros((n, 3))], trailing=None)  # builds _stack_jit
+
+        if self._poses:  # build the lazy _rrs_jit so it can be lowered
+            self._img_views(next(iter(self._poses)))
+        jobs = [
+            ("oracle.cross", lambda: OracleRunner._cross_jit.lower(
+                sds((8,), f32), sds((8,), f32), sds((n, 3), f32))),
+        ]
+        if OracleRunner._rrs_jit is not None:
+            jobs.append(("oracle.views", lambda: OracleRunner._rrs_jit.lower(
+                sds((n, 3), f32), sds((n, d), f32), h, w)))
+
+        # _stack0 rows are (hw, 3) pointmaps or (hw, d) descriptors,
+        # reshaped to (k, h, w, c)
+        def low_stack_rows(k, c):
+            def low():
+                return OracleRunner._stack_jit.lower(
+                    *[sds((n, c), f32) for _ in range(k)],
+                    trailing=(h, w, c),
+                )
+            return low
+
+        def low_slice_row(k, c):
+            def low():
+                return M._slice_row.lower(
+                    sds((k, h, w, c), f32), sds((), i32))
+            return low
+
+        def low_concat_rows(k, tail, dt):
+            def low():
+                return M._concat_rows.lower(
+                    *[sds((1, n) + tail, dt) for _ in range(k)])
+            return low
+
+        def low_concat0(k, shape, dt):
+            def low():
+                return FactorGraph._concat0.lower(
+                    *[sds(shape, dt) for _ in range(k)])
+            return low
+
+        for b in (1, 2, 4):
+            k = 2 * b
+            jobs.append((f"oracle.stack_X[{k}]", low_stack_rows(k, 3)))
+            jobs.append((f"oracle.stack_D[{k}]", low_stack_rows(k, d)))
+            jobs.append((f"oracle.slice_X[{k}]", low_slice_row(k, 3)))
+            jobs.append((f"oracle.slice_D[{k}]", low_slice_row(k, d)))
+            jobs.append((f"oracle.cat_idx[{k}]",
+                         low_concat_rows(k, (), i32)))
+            jobs.append((f"oracle.cat_valid[{k}]",
+                         low_concat_rows(k, (1,), jnp.bool_)))
+            jobs.append((f"oracle.cat_feat[{b}]",
+                         low_concat0(b, (1, 4, 4), f32)))
+            jobs.append((f"oracle.cat_pos[{b}]",
+                         low_concat0(b, (1, 4, 2), i32)))
+        return jobs
+
     _q_cache: dict = {}
 
     def _q_const(self, b: int):
         key = (b, self.h, self.w)
         hit = OracleRunner._q_cache.get(key)
         if hit is None:
-            hit = jnp.full((b, self.h * self.w, 1), self.conf_value)
+            # explicit dtype: a weak-typed Q propagates through _edge_post
+            # into the edge-store scatters and keys executables the prewarm
+            # never compiled (jnp.full of a python float is weak)
+            hit = jnp.full((b, self.h * self.w, 1), self.conf_value,
+                           jnp.float32)
             OracleRunner._q_cache[key] = hit
         return hit

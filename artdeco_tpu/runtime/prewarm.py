@@ -164,6 +164,25 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
 
     sds = jax.ShapeDtypeStruct
     f32 = jnp.float32
+
+    # weak-type guard: a single weak-typed leaf in the carried state keys
+    # different executables than these (non-weak) ShapeDtypeStruct
+    # lowerings, silently turning every prewarm below into a 20-80 s
+    # mid-stream recompile (found the hard way: GlobalFeats.lr)
+    for _nm in ("slab", "opt", "gfeat", "mlp", "mlp_opt", "mlp_lr", "pool",
+                "cluster_state"):
+        for _leaf in jax.tree_util.tree_leaves(
+                getattr(system.scene_model, _nm, None)):
+            if isinstance(_leaf, jax.Array) and getattr(
+                    _leaf, "weak_type", False):
+                import warnings
+
+                warnings.warn(
+                    f"prewarm: scene_model.{_nm} holds a weak-typed leaf "
+                    f"{_leaf.shape}:{_leaf.dtype} — its prewarmed programs "
+                    "will recompile at first real use"
+                )
+
     h, w = system.dataset.H_slam, system.dataset.W_slam
     hw = h * w
     d = int(getattr(system.frontend.runner, "desc_dim", 24))
@@ -245,6 +264,28 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
             sds((hw, 3), f32), sds((hw, 1), f32), sds((3, 3), f32), h, w,
         )
     jobs.append(("keyframe_point", low_kf_point))
+
+    # ---- per-frame/per-keyframe glue jits ----------------------------------
+    # Each compiles in 0.5-2.5 s over the tunnel; profile_compiles.py (r5)
+    # showed ~25 of them landing INSIDE the first keyframes' critical path
+    # (16-21 s of bkd-sync per early keyframe).  Shapes mirror the runtime
+    # call sites exactly, including python-scalar (weak-typed) positions —
+    # a weak/non-weak mismatch keys a different executable.
+    from artdeco_tpu.vslam import frame as FRm
+    from artdeco_tpu.vslam import frontend as FEm
+
+    a3 = sds((hw, 3), f32)
+    a1 = sds((hw, 1), f32)
+    i0 = sds((), jnp.int32)
+    s8 = sds((8,), f32)
+
+    jobs.append(("frame.fuse", lambda: FRm._fuse_pointmap_jit.lower(
+        a3, a1, i0, a3, a1)))
+    jobs.append(("frame.avg_conf", lambda: FRm._avg_conf_jit.lower(a1, i0)))
+    jobs.append(("frontend.rel_pose", lambda: FEm._rel_pose_jit.lower(s8, s8)))
+    jobs.append(("backend.rel_sim3", lambda: BK._rel_sim3_jit.lower(s8, s8)))
+    jobs.append(("backend.cross_writeback",
+                 lambda: BK._cross_writeback_jit.lower(s8, s8, a3)))
 
     # ---- mapper: burst (both schedules), densify, insert, render ----------
     sm = system.scene_model
@@ -341,6 +382,51 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
         )
     jobs.append(("weed", low_weed))
 
+    # ---- mapper glue jits (per keyframe / per loop closure) ----------------
+    from artdeco_tpu.mapper import clustering as CL
+    from artdeco_tpu.runtime import system as SYSm
+
+    kcap = mcfg.keyframe_capacity
+    cap = sm.slab.capacity
+
+    # register_keyframe's scalar args arrive as python scalars (weak-typed)
+    jobs.append(("kf_register", lambda: KFm.register_keyframe.lower(
+        pool_s, 0, sds((4, 4), f32), 0.0, float(mcfg.lr_exposure),
+        float(mcfg.depth_loss_weight_init), False)))
+    jobs.append(("cam_centres", lambda: SM._cam_centres_jit.lower(pool_s)))
+    jobs.append(("high_water", lambda: SM._high_water_jit.lower(
+        sds((cap,), jnp.bool_))))
+    jobs.append(("counts_probe", lambda: SM._densify_counts_probe.lower(
+        sds((), jnp.int32), sds((), jnp.int32))))
+    jobs.append(("set_poses_masked", lambda: SM._set_poses_masked_jit.lower(
+        pool_s, sds((kcap, 4, 4), f32), sds((kcap,), jnp.bool_))))
+    jobs.append(("rigid_transform", lambda: G.rigid_transform.lower(
+        slab_s, sds((kcap, 4, 4), f32), sds((kcap, 4, 4), f32))))
+    jobs.append(("rigid_poses", lambda: SYSm._rigid_fn_for(kcap).lower(
+        pool_s, sds((kcap, 8), f32), sds((kcap, 8), f32),
+        sds((kcap,), jnp.bool_), sds((kcap,), jnp.bool_))))
+
+    def low_clusters():
+        state_s = _sds_like(sm.cluster_state)
+        return CL.update_clusters.lower(
+            state_s, sds((cap, 3), f32), sds((cap,), jnp.int32),
+            sds((cap,), jnp.bool_), sds((b_total, 3), f32),
+            sds((b_total,), jnp.bool_), float(mcfg.voxel_size),
+            mcfg.voxel_table_size, mcfg.cluster_capacity,
+        )
+    jobs.append(("update_clusters", low_clusters))
+
+    def low_counts():
+        return SM._densify_counts_jit.lower(
+            sds((cap,), jnp.bool_), sds((b_total,), jnp.bool_))
+    jobs.append(("densify_counts", low_counts))
+
+    # runner-internal glue (stacking/slicing jits around the matching
+    # cascade) — shapes only the runner knows; optional hook
+    runner_jobs = getattr(system.frontend.runner, "prewarm_jits", None)
+    if runner_jobs is not None:
+        jobs.extend(runner_jobs(h, w))
+
     # ---- rare wide buckets last --------------------------------------------
     for b in (2, 4):
         jobs.append((f"edge_post[b={b}]", low_edge_post(b)))
@@ -356,6 +442,25 @@ def prewarm_system(system, verbose: bool = True, sync: bool = False):
     events += [submit_compile(name, low, verbose) for name, low in rest]
     # remember the initial mapper combo as warmed (growth predictions skip it)
     _growth_seen.add((sm.slab.capacity, sm._train_len, sm._compact_budget()))
+    # also pre-compile the visible-budget doubling ladder UP FRONT: budget
+    # growth is data-dependent (driven by per-view visible counts), and a
+    # mid-stream background compile still steals the 1-core host from the
+    # tracking thread even when the growth event itself finds it warm
+    cb = sm._compact_budget()
+    while cb is not None:
+        nxt = sm._cb_static(sm._train_len, 2 * cb)
+        events += prewarm_mapper_variant(
+            system, sm.slab.capacity, sm._train_len, nxt, verbose=verbose)
+        cb = nxt
+    # ... and ONE capacity-doubling step: densification transients routinely
+    # cross 0.85*cap before weeding prunes, and the growth event's compiles
+    # (2 bursts + render + insert + ...) otherwise run mid-stream
+    cap2 = min(2 * sm.slab.capacity, mcfg.capacity)
+    if cap2 > sm.slab.capacity:
+        for tl_v in sorted({sm._train_len, min(2 * sm._train_len, cap2)}):
+            cb_v = sm._cb_static(tl_v, sm._vis_budget)
+            events += prewarm_mapper_variant(
+                system, cap2, tl_v, cb_v, verbose=verbose)
     if sync:
         for e in events:
             e.wait()

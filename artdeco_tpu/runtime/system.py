@@ -49,16 +49,14 @@ from artdeco_tpu.vslam.keyframes import KeyframeStore
 _rigid_fns: dict = {}
 
 
-def _rigid_transform_poses(pool, slam_T, TCkC, is_kf, mask):
-    """Batched (jitted) loop-closure pose recomputation: new mapper
-    world->cam 4x4s from SLAM keyframe poses (+ relative T_CkC for common
-    frames), plus old/new cam->world for the gaussian rigid transform."""
+def _rigid_fn_for(key: int):
+    """The jitted loop-closure pose recomputation for a keyframe capacity
+    (cached per capacity; exposed so runtime/prewarm can AOT-compile it)."""
     import jax
     import jax.numpy as jnp
 
     from artdeco_tpu.mapper import keyframe as KFmod
 
-    key = slam_T.shape[0]
     fn = _rigid_fns.get(key)
     if fn is None:
         def impl(pool, slam_T, TCkC, is_kf, mask):
@@ -69,14 +67,21 @@ def _rigid_transform_poses(pool, slam_T, TCkC, is_kf, mask):
 
             new_Rt = jax.vmap(one)(slam_T, TCkC, is_kf)
             eye = jnp.eye(4)
-            Rts = KFmod.get_all_Rt(pool)[: slam_T.shape[0]]
+            Rts = KFmod.get_all_Rt(pool)[:key]
             Rts = jnp.where(mask[:, None, None], Rts, eye)
             new_safe = jnp.where(mask[:, None, None], new_Rt, eye)
             return new_Rt, jnp.linalg.inv(new_safe), jnp.linalg.inv(Rts)
 
         fn = jax.jit(impl)
         _rigid_fns[key] = fn
-    return fn(pool, slam_T, TCkC, is_kf, mask)
+    return fn
+
+
+def _rigid_transform_poses(pool, slam_T, TCkC, is_kf, mask):
+    """Batched (jitted) loop-closure pose recomputation: new mapper
+    world->cam 4x4s from SLAM keyframe poses (+ relative T_CkC for common
+    frames), plus old/new cam->world for the gaussian rigid transform."""
+    return _rigid_fn_for(slam_T.shape[0])(pool, slam_T, TCkC, is_kf, mask)
 
 
 class Runtimes:

@@ -24,7 +24,9 @@ def _fuse_pointmap_jit(X0, C0, N0, X, C):
     denom = jnp.where(first, 1.0, C0 + C)
     X_new = jnp.where(first, X, (C0 * X0 + C * X) / jnp.maximum(denom, 1e-12))
     C_new = jnp.where(first, C, C0 + C)
-    return X_new, C_new
+    # N rides inside the fusion program: `self.N + 1` on the host was one
+    # extra eager jit(add) dispatch per update_pointmap call
+    return X_new, C_new, N0 + jnp.int32(1)
 
 
 @jax.jit
@@ -100,10 +102,10 @@ class Frame:
         """Confidence-weighted fusion (ImageFrame.update_pointmap) — one
         jitted dispatch (run eagerly this is ~6 host round-trips of ~9 ms
         each on the tunneled backend)."""
-        X_new, C_new = _fuse_pointmap_jit(self.X_canon, self.C, self.N, X, C)
-        return dataclasses.replace(
-            self, X_canon=X_new, C=C_new, N=self.N + 1
+        X_new, C_new, N_new = _fuse_pointmap_jit(
+            self.X_canon, self.C, self.N, X, C
         )
+        return dataclasses.replace(self, X_canon=X_new, C=C_new, N=N_new)
 
     def get_average_conf(self) -> jax.Array:
         return _avg_conf_jit(self.C, self.N)

@@ -606,10 +606,111 @@ class FactorGraph:
         # host has ONE core, so a background compile steals it from the
         # tracking thread) lands ~10-30 s of stall on the keyframe that
         # crosses it.  runtime/prewarm.wait_all() drains these before
-        # streaming starts.
-        for rung in ((32, 64), (32, 128), (32, 256), (32, 512),
-                     (64, 128), (64, 256), (64, 512)):
-            self._prewarm_solver(*rung)
+        # streaming starts.  TPU only: CPU tests construct many
+        # FactorGraphs and compiles there are cheap on first use.
+        import jax as _jax
+
+        if _jax.default_backend() == "tpu":
+            for rung in ((32, 64), (32, 128), (32, 256), (32, 512),
+                         (64, 128), (64, 256), (64, 512)):
+                self._prewarm_solver(*rung)
+            self._prewarm_helpers()
+
+    def _prewarm_helpers(self):
+        """AOT-compile the factor-graph glue jits at their runtime buckets.
+
+        profile_compiles.py (r5) showed ~12 of these compiling ON the
+        per-keyframe critical path at 1-2 s each over the tunnel —
+        add_factors' first use of each pad bucket cost 16-21 s of bkd-sync.
+        Shapes must match the runtime avals exactly (incl. weak_type: a
+        jnp.asarray(python_scalar) arg keys a DIFFERENT executable than a
+        ShapeDtypeStruct — measured as a persistent-cache miss)."""
+        import jax
+        import jax.numpy as jnp
+
+        from artdeco_tpu.runtime.prewarm import submit_compile
+
+        sds = jax.ShapeDtypeStruct
+        f32 = jnp.float32
+        i32 = jnp.int32
+        n = self.h * self.w
+        ecap = 256      # _ensure_dev_capacity floor
+        pcap = 64       # _sync_poses_device floor
+
+        # force the lazy _scatter_jit into existence for lowering
+        if not hasattr(FactorGraph, "_scatter_jit"):
+            FactorGraph._scatter_jit = jax.jit(
+                lambda a, i, v: a.at[i].set(v, mode="drop")
+            )
+
+        def low_scatter(dtype, rows):
+            def low():
+                return FactorGraph._scatter_jit.lower(
+                    sds((ecap, n), dtype), sds((rows,), i32),
+                    sds((rows, n), dtype),
+                )
+            return low
+
+        def low_scatter_pose(shape_tail, rows):
+            def low():
+                return FactorGraph._scatter_jit.lower(
+                    sds((pcap, n) + shape_tail, f32), sds((rows,), i32),
+                    sds((rows, n) + shape_tail, f32),
+                )
+            return low
+
+        def low_gather_pairs(b):
+            def low():
+                return FactorGraph._gather_pair_rows.lower(
+                    sds((b, n), i32), sds((b, n), i32),
+                    sds((b, n, 1), jnp.bool_), sds((b, n, 1), jnp.bool_),
+                    sds((b, n), f32), sds((b, n), f32), sds((b,), i32),
+                )
+            return low
+
+        def low_stack_stale(k):
+            def low():
+                return FactorGraph._stack_stale.lower(
+                    tuple(sds((n, 3), f32) for _ in range(k)),
+                    tuple(sds((n, 1), f32) for _ in range(k)),
+                    tuple(sds((), i32) for _ in range(k)),
+                )
+            return low
+
+        def low_gn_prep(P):
+            def low():
+                return _gn_prep_jit.lower(
+                    sds((pcap, n, 3), f32), sds((pcap, n, 1), f32),
+                    sds((P,), i32), sds((P,), jnp.bool_), sds((3, 3), f32),
+                    self.h, self.w,
+                )
+            return low
+
+        def low_slice_edges():
+            return FactorGraph._slice_edges.lower(
+                sds((ecap, n), i32), sds((ecap, n), jnp.bool_),
+                sds((ecap, n), f32), 64,
+            )
+
+        jobs = []
+        for b in (1, 2, 4):
+            jobs.append((f"fg.gather_pairs[b={b}]", low_gather_pairs(b)))
+            for dt, tag in ((i32, "i32"), (jnp.bool_, "bool"), (f32, "f32")):
+                jobs.append(
+                    (f"fg.scatter[{tag},rows={2 * b}]",
+                     low_scatter(dt, 2 * b))
+                )
+        for k in (1, 2, 3):
+            jobs.append((f"fg.stack_stale[{k}]", low_stack_stale(k)))
+            jobs.append((f"fg.pose_scatter_X[{k}]",
+                         low_scatter_pose((3,), k)))
+            jobs.append((f"fg.pose_scatter_C[{k}]",
+                         low_scatter_pose((1,), k)))
+        for P in (32, 64):
+            jobs.append((f"fg.gn_prep[P={P}]", low_gn_prep(P)))
+        jobs.append(("fg.slice_edges[E=64]", low_slice_edges))
+        for name, low in jobs:
+            submit_compile(name, low, verbose=False)
 
     def enable_mesh(self, mesh, axis: str = "dp"):
         """Shard subsequent global GN solves over the mesh's ``axis``

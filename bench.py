@@ -265,9 +265,17 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
         T[7] = 1.0
         runner.register(dataset.transform.to_slam(img), i, T)
 
+    # initial_capacity / vis_budget_init are sized so the 64-frame stream
+    # (~35k gaussians) never crosses a pow2 growth bucket: each crossing
+    # recompiles the slab-shaped programs (25-110 s on the 1-core host,
+    # stealing the core from the tracking thread even when the compile runs
+    # in the background).  Production tuning, same spirit as the reference
+    # preallocating capacity for its scene scale; the growth machinery
+    # stays exercised by tests and longer streams.
     mcfg = MapperConfig(
-        capacity=1 << 18, initial_capacity=1 << 14, new_budget=1 << 14,
+        capacity=1 << 18, initial_capacity=1 << 17, new_budget=1 << 14,
         cluster_capacity=1 << 13, voxel_table_size=1 << 16,
+        vis_budget_init=1 << 15,
         keyframe_capacity=256, sh_degree=3, local_feat_dim=16,
         global_feat_dim=16, pyr_levels=2, gs_add_ratio=1.0,
         init_proba_scaler=4.0,

@@ -70,8 +70,9 @@ def main(n_frames=14):
         runner.register(dataset.transform.to_slam(img), i, T)
 
     mcfg = MapperConfig(
-        capacity=1 << 18, initial_capacity=1 << 14, new_budget=1 << 14,
+        capacity=1 << 18, initial_capacity=1 << 17, new_budget=1 << 14,
         cluster_capacity=1 << 13, voxel_table_size=1 << 16,
+        vis_budget_init=1 << 15,
         keyframe_capacity=256, sh_degree=3, local_feat_dim=16,
         global_feat_dim=16, pyr_levels=2, gs_add_ratio=1.0,
         init_proba_scaler=4.0,
