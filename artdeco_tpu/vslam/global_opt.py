@@ -608,9 +608,12 @@ class FactorGraph:
         # crosses it.  runtime/prewarm.wait_all() drains these before
         # streaming starts.  TPU only: CPU tests construct many
         # FactorGraphs and compiles there are cheap on first use.
+        import os as _os
+
         import jax as _jax
 
-        if _jax.default_backend() == "tpu":
+        if (_jax.default_backend() == "tpu"
+                or _os.environ.get("ARTDECO_FORCE_PREWARM") == "1"):
             for rung in ((32, 64), (32, 128), (32, 256), (32, 512),
                          (64, 128), (64, 256), (64, 512)):
                 self._prewarm_solver(*rung)

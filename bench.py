@@ -289,6 +289,13 @@ def bench_pipeline(n_frames=64, width=1024, height=576):
 
     t0 = time.time()
     prewarm.wait_all()
+    # the remote compile service serializes with execution: even after the
+    # local drain, a minutes-long backlog of executable finalization can
+    # block the FIRST device op (measured: a 4.5 min silent stall on frame
+    # 0).  A tiny readback waits it out here, inside warm-up accounting.
+    import jax.numpy as _jnp
+
+    _sync(_jnp.zeros(()) + 1.0)
     log(f"prewarm drained in {time.time() - t0:.0f}s")
     # Overlapped schedule (the shipped default, runtime/system.py): the
     # mapper half drains on a worker thread while the main thread tracks.

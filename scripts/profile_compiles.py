@@ -81,6 +81,9 @@ def main(n_frames=14):
     from artdeco_tpu.runtime import prewarm
 
     prewarm.wait_all()
+    import jax.numpy as jnp
+
+    float(jnp.ravel(jnp.zeros(()) + 1.0)[0])   # wait out the remote backlog
     print("prewarm drained; streaming with compile logging", file=sys.stderr)
     t_stream = time.time()
 
